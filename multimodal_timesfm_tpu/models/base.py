@@ -1,0 +1,79 @@
+"""Backbone-agnostic adapter contract.
+
+Functional re-expression of the reference's ``TsfmAdapter`` ABC
+(``/root/reference/src/tsfmx/tsfm/base.py:25-75``). The pipeline contract is
+identical — ``preprocess -> [fusion injection point] -> forward ->
+postprocess`` — but adapters here hold *no parameters*: they are stateless
+strategy objects whose methods take the parameter pytree explicitly. This is
+what makes mode-based freezing trivial (optimize a params subtree) and lets
+one jitted train step cover both backbones.
+
+Mask convention: **True = padded** (reference ``tsfm/base.py:16``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from abc import ABC, abstractmethod
+from typing import Any
+
+import jax
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class PreprocessResult:
+    """Result of adapter preprocessing (parity: reference ``tsfm/base.py:10-22``).
+
+    Attributes:
+        input_embeddings: (B, num_patches, model_dims) tokenizer output — the
+            fusion injection point.
+        masks: per-patch-element bool masks, True = padded.
+        normalization_stats: adapter-specific stats needed by postprocess.
+    """
+
+    input_embeddings: jax.Array
+    masks: jax.Array
+    normalization_stats: dict[str, jax.Array]
+
+
+class TsfmAdapter(ABC):
+    """Stateless adapter for a time-series foundation model backbone."""
+
+    @property
+    @abstractmethod
+    def model_dims(self) -> int:
+        """Hidden dimension of the backbone transformer."""
+
+    @property
+    @abstractmethod
+    def patch_len(self) -> int:
+        """Raw time-series steps per input patch."""
+
+    @property
+    @abstractmethod
+    def point_forecast_index(self) -> int:
+        """Index into the last output dim that gives the point forecast."""
+
+    @abstractmethod
+    def init(self, rng: jax.Array) -> Params:
+        """Random-init the backbone parameter pytree."""
+
+    @abstractmethod
+    def preprocess(self, params: Params, inputs: jax.Array, masks: jax.Array) -> PreprocessResult:
+        """Patch/normalize/tokenize: (B, C) series -> (B, N, D) embeddings."""
+
+    @abstractmethod
+    def forward(self, params: Params, input_embeddings: jax.Array, masks: jax.Array) -> jax.Array:
+        """Run the backbone transformer stack over (possibly fused) embeddings."""
+
+    @abstractmethod
+    def postprocess(
+        self,
+        params: Params,
+        horizon: int,
+        output_embeddings: jax.Array,
+        normalization_stats: dict[str, jax.Array],
+    ) -> jax.Array:
+        """Project to forecasts: -> (B, horizon, num_output_channels)."""

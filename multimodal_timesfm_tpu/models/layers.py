@@ -1,0 +1,236 @@
+"""Core neural-net building blocks as pytree modules.
+
+These are the TPU-native equivalents of the upstream torch internals the
+reference adapters reach into (SURVEY.md §2.5): the residual patch-embedding
+MLP (``tokenizer``), RMS/Layer norms, per-dim-scaled causal attention, and
+the transformer blocks of ``stacked_xf``
+(``/root/reference/src/tsfmx/tsfm/timesfm.py:73-98``).
+
+Conventions:
+  * params are nested dicts of ``jnp`` arrays,
+  * every ``apply`` is shape-polymorphic in batch, static in feature dims,
+  * matmuls pass ``preferred_element_type=float32`` so the MXU accumulates
+    in fp32 even under bf16 params/activations,
+  * padding masks are bool, True = padded (project convention,
+    reference ``tsfm/base.py:16``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+# 1/ln(2): the per-dim-scale constant used by PAX-lineage attention
+# (softplus(0) * r_softplus_0 == 1 so zero-init is a no-op scale).
+_R_SOFTPLUS_0 = 1.442695041
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def xavier_uniform(rng: jax.Array, shape: tuple[int, int], dtype=jnp.float32) -> jax.Array:
+    fan_in, fan_out = shape[0], shape[1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -limit, limit)
+
+
+def init_dense(rng: jax.Array, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    p: Params = {"kernel": xavier_uniform(rng, (in_dim, out_dim))}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def dense(params: Params, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"]
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+
+def init_rms_norm(dim: int) -> Params:
+    return {"scale": jnp.zeros((dim,), jnp.float32)}
+
+
+def rms_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed * (1.0 + params["scale"])).astype(x.dtype)
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    normed = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (normed * params["scale"] + params["bias"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# residual block (the TSFM patch-embedding MLP)
+# ---------------------------------------------------------------------------
+
+
+def init_residual_block(rng: jax.Array, in_dim: int, hidden_dim: int, out_dim: int) -> Params:
+    """Residual MLP: out = W_out(swish(W_hid(x))) + W_res(x).
+
+    Mirrors the structure of the upstream TimesFM ``ResidualBlock`` that the
+    reference feeds ``[normed_patch, mask]`` into (``tsfm/timesfm.py:73-74``).
+    """
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "hidden": init_dense(k1, in_dim, hidden_dim),
+        "output": init_dense(k2, hidden_dim, out_dim),
+        "residual": init_dense(k3, in_dim, out_dim),
+    }
+
+
+def residual_block(params: Params, x: jax.Array) -> jax.Array:
+    h = jax.nn.swish(dense(params["hidden"], x))
+    return dense(params["output"], h) + dense(params["residual"], x)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def init_attention(rng: jax.Array, model_dims: int, num_heads: int, head_dim: int) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "qkv": init_dense(k1, model_dims, 3 * num_heads * head_dim),
+        "out": init_dense(k2, num_heads * head_dim, model_dims),
+        # PAX-style learned per-dim query scale; zero init => scale 1/sqrt(d).
+        "per_dim_scale": jnp.zeros((head_dim,), jnp.float32),
+    }
+
+
+def _scale_query(q: jax.Array, per_dim_scale: jax.Array, head_dim: int) -> jax.Array:
+    scale = (_R_SOFTPLUS_0 / math.sqrt(head_dim)) * jax.nn.softplus(per_dim_scale)
+    return q * scale.astype(q.dtype)
+
+
+def causal_attention(
+    params: Params,
+    x: jax.Array,
+    paddings: jax.Array,
+    num_heads: int,
+    head_dim: int,
+) -> jax.Array:
+    """Multi-head causal self-attention with key-padding masking.
+
+    Args:
+        x: (B, N, D) hidden states.
+        paddings: (B, N) bool, True = padded token.
+
+    Returns:
+        (B, N, D).
+    """
+    batch, seq, _ = x.shape
+    qkv = dense(params["qkv"], x).reshape(batch, seq, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = _scale_query(q, params["per_dim_scale"], head_dim)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+
+    causal = jnp.tril(jnp.ones((seq, seq), bool))
+    key_valid = ~paddings  # (B, N)
+    mask = causal[None, None, :, :] & key_valid[:, None, None, :]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
+    out = out.reshape(batch, seq, num_heads * head_dim).astype(x.dtype)
+    return dense(params["out"], out)
+
+
+# ---------------------------------------------------------------------------
+# transformer layer & stacked (scanned) layers
+# ---------------------------------------------------------------------------
+
+
+def init_transformer_layer(
+    rng: jax.Array, model_dims: int, num_heads: int, head_dim: int, ffn_dims: int
+) -> Params:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "attn_norm": init_rms_norm(model_dims),
+        "attn": init_attention(k1, model_dims, num_heads, head_dim),
+        "ffn_norm": init_layer_norm(model_dims),
+        "ffn_up": init_dense(k2, model_dims, ffn_dims),
+        "ffn_down": init_dense(k3, ffn_dims, model_dims),
+    }
+
+
+def transformer_layer(
+    params: Params,
+    x: jax.Array,
+    paddings: jax.Array,
+    num_heads: int,
+    head_dim: int,
+) -> jax.Array:
+    """Pre-norm causal transformer block.
+
+    Wiring follows the upstream TimesFM torch decoder layer the reference
+    iterates over (``tsfm/timesfm.py:95-98``): RMS-norm -> per-dim-scaled
+    causal attention -> residual; LayerNorm -> FFN(relu) -> padding-zeroed
+    residual.
+    """
+    h = rms_norm(params["attn_norm"], x)
+    x = x + causal_attention(params["attn"], h, paddings, num_heads, head_dim)
+
+    h = layer_norm(params["ffn_norm"], x)
+    h = dense(params["ffn_down"], jax.nn.relu(dense(params["ffn_up"], h)))
+    h = h * (~paddings)[..., None].astype(h.dtype)
+    return x + h
+
+
+def init_stacked_layers(
+    rng: jax.Array,
+    num_layers: int,
+    model_dims: int,
+    num_heads: int,
+    head_dim: int,
+    ffn_dims: int,
+) -> Params:
+    """Init ``num_layers`` transformer layers, stacked on a leading axis for lax.scan."""
+    keys = jax.random.split(rng, num_layers)
+    layers = [init_transformer_layer(k, model_dims, num_heads, head_dim, ffn_dims) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def stacked_transformer(
+    params: Params,
+    x: jax.Array,
+    paddings: jax.Array,
+    num_heads: int,
+    head_dim: int,
+) -> jax.Array:
+    """Run the whole stack as one ``lax.scan`` over stacked layer params.
+
+    One compiled layer body reused L times: compile time stays flat in depth
+    and XLA double-buffers the per-layer weights from HBM.
+    """
+
+    def body(h, layer_params):
+        return transformer_layer(layer_params, h, paddings, num_heads, head_dim), None
+
+    out, _ = jax.lax.scan(body, x, params)
+    return out

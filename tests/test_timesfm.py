@@ -1,0 +1,100 @@
+"""Shape/dtype contract and semantics tests for the TimesFM backbone + adapter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    return TimesFM2p5Adapter(TimesFMConfig.tiny())
+
+
+@pytest.fixture(scope="module")
+def params(adapter):
+    return adapter.init(jax.random.key(0))
+
+
+def test_properties(adapter):
+    assert adapter.patch_len == 4
+    assert adapter.model_dims == 32
+    assert adapter.point_forecast_index == 5
+
+
+def test_preprocess_shapes(adapter, params):
+    inputs = jnp.ones((3, 16))
+    masks = jnp.zeros((3, 16), bool)
+    pre = adapter.preprocess(params, inputs, masks)
+    assert pre.input_embeddings.shape == (3, 4, 32)
+    assert pre.masks.shape == (3, 4, 4)
+    assert pre.normalization_stats["context_mu"].shape == (3, 4)
+
+
+def test_preprocess_rejects_bad_shapes(adapter, params):
+    with pytest.raises(ValueError, match="divisible"):
+        adapter.preprocess(params, jnp.ones((2, 15)), jnp.zeros((2, 15), bool))
+    with pytest.raises(ValueError, match="masks shape"):
+        adapter.preprocess(params, jnp.ones((2, 16)), jnp.zeros((2, 12), bool))
+
+
+def test_forward_and_postprocess_shapes(adapter, params):
+    inputs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16)), jnp.float32)
+    masks = jnp.zeros((2, 16), bool)
+    pre = adapter.preprocess(params, inputs, masks)
+    out_emb = adapter.forward(params, pre.input_embeddings, pre.masks)
+    assert out_emb.shape == (2, 4, 32)
+    preds = adapter.postprocess(params, 8, out_emb, pre.normalization_stats)
+    assert preds.shape == (2, 8, 10)
+
+
+def test_postprocess_rejects_long_horizon(adapter, params):
+    out_emb = jnp.zeros((2, 4, 32))
+    stats = {"context_mu": jnp.zeros((2, 4)), "context_sigma": jnp.ones((2, 4))}
+    with pytest.raises(ValueError, match="output_patch_len"):
+        adapter.postprocess(params, 9, out_emb, stats)
+
+
+def test_causality_of_patch_embeddings(adapter, params):
+    """Changing patch k must not affect embeddings of patches < k (running stats are causal)."""
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(1, 16)).astype(np.float32)
+    pert = base.copy()
+    pert[0, 12:] += 100.0  # perturb only the last patch
+    masks = jnp.zeros((1, 16), bool)
+    emb_a = adapter.preprocess(params, jnp.asarray(base), masks).input_embeddings
+    emb_b = adapter.preprocess(params, jnp.asarray(pert), masks).input_embeddings
+    np.testing.assert_allclose(np.asarray(emb_a[:, :3]), np.asarray(emb_b[:, :3]), atol=1e-5)
+    assert not np.allclose(np.asarray(emb_a[:, 3]), np.asarray(emb_b[:, 3]))
+
+
+def test_transformer_causality(adapter, params):
+    """Attention is causal: perturbing the last patch token leaves earlier outputs unchanged."""
+    emb = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4, 32)), jnp.float32)
+    masks = jnp.zeros((1, 4, 4), bool)
+    out_a = adapter.forward(params, emb, masks)
+    out_b = adapter.forward(params, emb.at[:, -1].add(1.0), masks)
+    np.testing.assert_allclose(np.asarray(out_a[:, :3]), np.asarray(out_b[:, :3]), atol=1e-5)
+
+
+def test_padded_keys_are_ignored(adapter, params):
+    """Fully-padded leading patches must not influence later positions' outputs."""
+    emb = jnp.asarray(np.random.default_rng(3).normal(size=(1, 4, 32)), jnp.float32)
+    masks = jnp.zeros((1, 4, 4), bool).at[:, 0].set(True)
+    out_a = adapter.forward(params, emb, masks)
+    out_b = adapter.forward(params, emb.at[:, 0].add(5.0), masks)
+    np.testing.assert_allclose(np.asarray(out_a[:, 1:]), np.asarray(out_b[:, 1:]), atol=1e-5)
+
+
+def test_jit_compiles_full_pipeline(adapter, params):
+    @jax.jit
+    def fn(p, x, m):
+        pre = adapter.preprocess(p, x, m)
+        out = adapter.forward(p, pre.input_embeddings, pre.masks)
+        return adapter.postprocess(p, 8, out, pre.normalization_stats)
+
+    preds = fn(params, jnp.ones((2, 16)), jnp.zeros((2, 16), bool))
+    assert preds.shape == (2, 8, 10)
+    assert np.isfinite(np.asarray(preds)).all()
