@@ -1,0 +1,56 @@
+"""Checkpoint persistence: save/load/rotate with the reference's policies.
+
+Parity: reference trainer checkpointing
+(``/root/reference/src/tsfmx/trainer.py:285-354``) — TypedDict-shaped
+payloads carrying epoch/global_step/optimizer state/best_val_loss plus the
+mode-specific parameter subtree, epoch-numbered files with
+``save_total_limit`` rotation, and a separate ``best_model`` file.
+
+Format: pickled pytrees with arrays converted to numpy (host) — portable
+across backends and mesh shapes (params are replicated, so gather is free).
+An Orbax backend can slot in behind the same three functions when sharded
+(>host-memory) checkpoints are needed; for this model family params fit on
+one host.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from multimodal_timesfm_tpu.utils.logging import get_logger
+
+_logger = get_logger()
+
+CKPT_SUFFIX = ".ckpt"
+
+
+def save_checkpoint(path: Path, payload: dict) -> None:
+    """Pickle a checkpoint payload; device arrays are pulled to host numpy."""
+    host = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, payload
+    )
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)
+
+
+def load_checkpoint(path: Path) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def rotate_checkpoints(checkpoint_dir: Path, save_total_limit: int) -> None:
+    """Delete oldest epoch checkpoints beyond the limit (reference ``trainer.py:312-323``)."""
+    checkpoints = sorted(
+        checkpoint_dir.glob(f"checkpoint_epoch_*{CKPT_SUFFIX}"),
+        key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
+    )
+    for checkpoint in checkpoints[:-save_total_limit] if len(checkpoints) > save_total_limit else []:
+        checkpoint.unlink()
+        _logger.info("Deleted old checkpoint: %s", checkpoint.name)

@@ -1,0 +1,417 @@
+"""Trainer: whole-epoch jit-compiled training with mode-based parameter partitioning.
+
+Capability parity with the reference ``MultimodalTrainer``
+(``/root/reference/src/tsfmx/trainer.py:35-399``) — same training semantics:
+
+  * multimodal mode trains the fusion subtree with a frozen adapter; baseline
+    mode fine-tunes the adapter (``trainer.py:76-79,119-123``) — expressed
+    here as gradient/optimizer partitioning over params subtrees rather than
+    ``requires_grad`` flags,
+  * MSE loss on the point forecast, loss/accum scaling under gradient
+    accumulation, global-norm clipping before the step, linear/cosine warmup
+    schedules advanced per optimizer step (``trainer.py:105,208-219``),
+  * all-False input padding masks at train time (``trainer.py:204``),
+  * per-epoch validation, epoch/best checkpointing with rotation, optional
+    best-model restore at the end (``trainer.py:285-397``).
+
+TPU-native execution model (NOT the reference's per-batch host loop):
+
+  * the entire dataset is staged into dense arrays once; each epoch is a
+    host-side permutation + ONE device transfer + ONE jitted
+    ``lax.scan`` over optimizer steps (micro-batches scanned inside),
+  * batches are padded to static shapes with zero-weight rows; the weighted
+    loss reproduces the reference's partial-batch semantics exactly,
+  * arrays are sharded over the mesh's ``data`` axis; the gradient psum is
+    inserted by XLA from the shardings — no explicit collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
+from multimodal_timesfm_tpu.models.base import Params
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
+from multimodal_timesfm_tpu.parallel.mesh import replicated
+from multimodal_timesfm_tpu.training.checkpoint import (
+    load_checkpoint,
+    rotate_checkpoints,
+    save_checkpoint,
+)
+from multimodal_timesfm_tpu.training.optimization import make_optimizer, make_schedule
+from multimodal_timesfm_tpu.training_args import TrainingArguments
+from multimodal_timesfm_tpu.types import TrainingMode
+from multimodal_timesfm_tpu.utils.logging import get_logger
+
+_logger = get_logger()
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Pytree carried through the epoch scan."""
+
+    trainable: Params
+    opt_state: Any
+
+    def tree_flatten(self):  # pragma: no cover - registered below
+        return (self.trainable, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):  # pragma: no cover
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+class MultimodalTrainer:
+    """Trainer for multimodal and baseline time-series forecasting."""
+
+    def __init__(
+        self,
+        model: MultimodalDecoder,
+        params: Params,
+        args: TrainingArguments,
+        train_dataset,
+        val_dataset,
+        mode: TrainingMode,
+        mesh=None,
+        wandb_run=None,
+    ) -> None:
+        self.model = model
+        self.args = args
+        self.mode = mode
+        self.mesh = mesh
+        self._wandb_run = wandb_run
+
+        multimodal = mode == "multimodal"
+        self.train_data = (
+            train_dataset
+            if isinstance(train_dataset, StackedDataset)
+            else stack_samples(train_dataset, multimodal)
+        )
+        self.val_data = (
+            val_dataset
+            if isinstance(val_dataset, StackedDataset)
+            else stack_samples(val_dataset, multimodal)
+        )
+        if len(self.train_data) == 0:
+            raise RuntimeError("Training dataset is empty.")
+        if len(self.val_data) == 0:
+            raise RuntimeError("Validation dataset is empty.")
+
+        self.horizon_len = int(self.train_data.horizon.shape[1])
+        self.trainable_key = "fusion" if multimodal else "adapter"
+
+        # --- params partition: trainable subtree vs frozen remainder ---
+        self.frozen = {k: v for k, v in params.items() if k != self.trainable_key}
+        trainable = params[self.trainable_key]
+
+        # --- optimizer + schedule (per optimizer step, as in the reference) ---
+        batch = args.per_device_train_batch_size
+        self.num_train_batches = math.ceil(len(self.train_data) / batch)
+        num_training_steps = args.num_train_epochs * math.ceil(
+            self.num_train_batches / args.gradient_accumulation_steps
+        )
+        self.num_training_steps = num_training_steps
+        self.schedule = make_schedule(
+            args.lr_scheduler_type,
+            args.learning_rate,
+            args.get_warmup_steps(num_training_steps),
+            num_training_steps,
+        )
+        self.optimizer = make_optimizer(self.schedule, args.weight_decay, args.max_grad_norm)
+        self.state = TrainState(trainable=trainable, opt_state=self.optimizer.init(trainable))
+
+        # --- device placement ---
+        self._dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+            self.frozen = jax.device_put(self.frozen, rep)
+
+        self._rng = np.random.default_rng(args.seed if args.seed is not None else 0)
+
+        # Training state (parity: reference trainer.py:116-118)
+        self.current_epoch = 0
+        self.global_step = 0
+        self.best_val_loss = float("inf")
+        self.last_throughput: float | None = None
+
+        self._build_step_fns()
+
+    # ------------------------------------------------------------------
+    # jitted step functions
+    # ------------------------------------------------------------------
+
+    def _assemble(self, trainable: Params) -> Params:
+        params = dict(self.frozen)
+        params[self.trainable_key] = trainable
+        return params
+
+    def _loss_fn(self, trainable, frozen, context, horizon, text, weights):
+        """Weighted MSE on the point forecast; weights zero out padded rows."""
+        params = dict(frozen)
+        params[self.trainable_key] = trainable
+        masks = jnp.zeros_like(context, dtype=bool)
+        point = self.model(params, self.horizon_len, context, masks, text)
+        err = (point.astype(jnp.float32) - horizon) ** 2
+        denom = jnp.maximum(jnp.sum(weights) * self.horizon_len, 1.0)
+        return jnp.sum(err * weights[:, None]) / denom
+
+    def _build_step_fns(self) -> None:
+        accum = self.args.gradient_accumulation_steps
+        grad_fn = jax.value_and_grad(self._loss_fn)
+
+        def optimizer_step(state: TrainState, frozen, group):
+            """One optimizer step: scan over ``accum`` micro-batches, then update."""
+
+            def micro(grads_acc, mb):
+                loss, grads = grad_fn(
+                    state.trainable,
+                    frozen,
+                    mb["context"],
+                    mb["horizon"],
+                    mb.get("text"),
+                    mb["weights"],
+                )
+                grads_acc = jax.tree.map(lambda a, g: a + g / accum, grads_acc, grads)
+                return grads_acc, loss
+
+            zeros = jax.tree.map(jnp.zeros_like, state.trainable)
+            grads, losses = jax.lax.scan(micro, zeros, group)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return TrainState(trainable, opt_state), losses
+
+        def train_epoch_fn(state: TrainState, frozen, epoch_data):
+            def step(carry, group):
+                return optimizer_step(carry, frozen, group)
+
+            state, losses = jax.lax.scan(step, state, epoch_data)
+            return state, losses  # losses: (num_steps, accum)
+
+        def eval_fn(trainable, frozen, batches):
+            """Per-micro-batch weighted (mse, mae, valid_count) over a scanned epoch."""
+            params = dict(frozen)
+            params[self.trainable_key] = trainable
+
+            def one(_, mb):
+                masks = jnp.zeros_like(mb["context"], dtype=bool)
+                point = self.model(
+                    params, self.horizon_len, mb["context"], masks, mb.get("text")
+                )
+                err = point.astype(jnp.float32) - mb["horizon"]
+                w = mb["weights"][:, None]
+                denom = jnp.maximum(jnp.sum(mb["weights"]) * self.horizon_len, 1.0)
+                mse = jnp.sum(err * err * w) / denom
+                mae = jnp.sum(jnp.abs(err) * w) / denom
+                return None, (mse, mae, jnp.sum(mb["weights"]))
+
+            _, out = jax.lax.scan(one, None, batches)
+            return out
+
+        self._train_epoch_fn = jax.jit(train_epoch_fn, donate_argnums=(0,))
+        self._eval_fn = jax.jit(eval_fn)
+
+    # ------------------------------------------------------------------
+    # host-side epoch staging
+    # ------------------------------------------------------------------
+
+    def _stage(
+        self,
+        data: StackedDataset,
+        batch: int,
+        shuffle: bool,
+        group_by_accum: bool,
+    ):
+        """Permute, pad to static shapes, reshape to scan layout, place on device.
+
+        Returns (device_tree, num_real_batches). Layout is
+        (steps, accum, B, ...) when grouping, else (num_batches, B, ...).
+        """
+        n = len(data)
+        idx = self._rng.permutation(n) if shuffle else np.arange(n)
+
+        accum = self.args.gradient_accumulation_steps if group_by_accum else 1
+        num_batches = math.ceil(n / batch)
+        num_steps = math.ceil(num_batches / accum)
+        b_padded = math.ceil(batch / self._dp) * self._dp
+        total = num_steps * accum * b_padded
+
+        take = np.resize(idx, total)  # wraps; padded rows get weight 0
+        weights = np.zeros(total, np.float32)
+        # Real rows: the first `min(n, batch)` rows of each batch slot are real
+        # only up to n samples overall; reconstruct per-batch real counts.
+        for bi in range(num_batches):
+            real = min(batch, n - bi * batch)
+            weights[bi * b_padded : bi * b_padded + real] = 1.0
+            take[bi * b_padded : bi * b_padded + real] = idx[bi * batch : bi * batch + real]
+
+        def shape(x):
+            lead = (num_steps, accum, b_padded) if group_by_accum else (num_batches * accum, b_padded)
+            return x[take].reshape(lead + x.shape[1:])
+
+        tree = {
+            "context": shape(data.context),
+            "horizon": shape(data.horizon),
+            "weights": weights.reshape(
+                (num_steps, accum, b_padded) if group_by_accum else (num_batches, b_padded)
+            ),
+        }
+        if data.text_embeddings is not None:
+            tree["text"] = shape(data.text_embeddings)
+
+        if self.mesh is not None:
+            # Shard the per-batch row dim (B) over the data axis; scan dims replicated.
+            lead = (None, None) if group_by_accum else (None,)
+            spec = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(*lead, "data")
+            )
+            tree = jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+        else:
+            tree = jax.tree.map(jnp.asarray, tree)
+        return tree, num_batches
+
+    # ------------------------------------------------------------------
+    # public API (parity with reference trainer.py:185-399)
+    # ------------------------------------------------------------------
+
+    def train_epoch(self) -> float:
+        """Train one epoch; returns the average per-micro-batch training loss."""
+        epoch_data, num_batches = self._stage(
+            self.train_data, self.args.per_device_train_batch_size, shuffle=True, group_by_accum=True
+        )
+        t0 = time.perf_counter()
+        self.state, losses = self._train_epoch_fn(self.state, self.frozen, epoch_data)
+        losses = np.asarray(losses).reshape(-1)[:num_batches]
+        elapsed = time.perf_counter() - t0
+        self.last_throughput = len(self.train_data) / max(elapsed, 1e-9)
+
+        num_steps = epoch_data["weights"].shape[0]
+        self.global_step += num_steps
+
+        if (
+            self.args.logging_strategy == "steps"
+            and self._wandb_run is not None
+            and self.global_step % max(self.args.logging_steps, 1) == 0
+        ):
+            self._wandb_run.log(
+                {
+                    "train/loss": float(losses[-1]),
+                    "train/lr": float(self.schedule(self.global_step - 1)),
+                },
+                step=self.global_step,
+            )
+
+        return float(np.mean(losses))
+
+    def validate_epoch(self) -> float:
+        """One validation epoch; average per-micro-batch loss (reference :247-283)."""
+        batches, num_batches = self._stage(
+            self.val_data, self.args.per_device_eval_batch_size, shuffle=False, group_by_accum=False
+        )
+        mse, _, _ = self._eval_fn(self.state.trainable, self.frozen, batches)
+        return float(np.mean(np.asarray(mse)[:num_batches]))
+
+    @property
+    def params(self) -> Params:
+        """Full assembled parameter pytree (frozen + current trainable)."""
+        return self._assemble(self.state.trainable)
+
+    # --- checkpointing (parity: reference trainer.py:285-354) ---
+
+    def _build_checkpoint(self) -> dict:
+        payload = {
+            "epoch": self.current_epoch,
+            "global_step": self.global_step,
+            "optimizer_state": jax.device_get(self.state.opt_state),
+            "best_val_loss": self.best_val_loss,
+        }
+        key = "fusion_params" if self.mode == "multimodal" else "adapter_params"
+        payload[key] = jax.device_get(self.state.trainable)
+        return payload
+
+    def _load_checkpoint_state(self, checkpoint: dict) -> None:
+        key = "fusion_params" if self.mode == "multimodal" else "adapter_params"
+        like = jax.device_get(self.state.trainable)
+        restored = jax.tree.map(lambda ref, v: jnp.asarray(v, ref.dtype), like, checkpoint[key])
+        if self.mesh is not None:
+            restored = jax.device_put(restored, replicated(self.mesh))
+        self.state = TrainState(restored, self.state.opt_state)
+
+    def save_ckpt(self, val_loss: float) -> None:
+        """Epoch/best checkpoint policy with rotation (reference :325-354)."""
+        is_best = val_loss < self.best_val_loss
+        if is_best:
+            self.best_val_loss = val_loss
+        if self.args.save_strategy == "best" and not is_best:
+            return
+
+        checkpoint = self._build_checkpoint()
+
+        if self.args.save_strategy == "epoch":
+            path = self.args.checkpoint_dir / f"checkpoint_epoch_{self.current_epoch}.ckpt"
+            save_checkpoint(path, checkpoint)
+            _logger.info("Saved checkpoint at epoch %d", self.current_epoch)
+            if self.args.save_total_limit is not None:
+                rotate_checkpoints(self.args.checkpoint_dir, self.args.save_total_limit)
+
+        if is_best:
+            save_checkpoint(self.args.checkpoint_dir / "best_model.ckpt", checkpoint)
+            _logger.info("Saved best model checkpoint at epoch %d", self.current_epoch)
+
+    def train(self) -> None:
+        """Main training loop (parity: reference trainer.py:356-399)."""
+        if self.args.eval_strategy != "epoch":
+            raise NotImplementedError(
+                f"eval_strategy={self.args.eval_strategy!r} is not supported; only 'epoch' is implemented."
+            )
+
+        _logger.info("Starting %s training for %d epochs", self.mode, self.args.num_train_epochs)
+        _logger.info("Train dataset size: %d", len(self.train_data))
+        _logger.info("Validation dataset size: %d", len(self.val_data))
+
+        for epoch in range(self.args.num_train_epochs):
+            self.current_epoch = epoch
+            epoch_lr = float(self.schedule(self.global_step))
+
+            train_loss = self.train_epoch()
+            val_loss = self.validate_epoch()
+            _logger.info(
+                "Epoch %d: Train Loss = %.6f, Val Loss = %.6f (%.1f series/s)",
+                epoch,
+                train_loss,
+                val_loss,
+                self.last_throughput or 0.0,
+            )
+
+            if self._wandb_run is not None:
+                if self.args.logging_strategy == "epoch":
+                    self._wandb_run.log(
+                        {"train/loss": train_loss, "train/lr": epoch_lr, "val/loss": val_loss},
+                        step=self.global_step,
+                    )
+                else:
+                    self._wandb_run.log({"val/loss": val_loss}, step=self.global_step)
+
+            if self.args.save_strategy in ("epoch", "best"):
+                self.save_ckpt(val_loss)
+
+        if self.args.load_best_model_at_end:
+            best_path = self.args.checkpoint_dir / "best_model.ckpt"
+            if best_path.exists():
+                self._load_checkpoint_state(load_checkpoint(best_path))
+                _logger.info("Loaded best model at end of training")
+
+        _logger.info("Training completed")

@@ -1,0 +1,229 @@
+"""End-to-end trainer/evaluator tests on the tiny backbone (CPU, 8-device mesh)."""
+
+import numpy as np
+import jax
+import pytest
+
+from multimodal_timesfm_tpu.data.dataset import PreprocessedDataset
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
+from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+from multimodal_timesfm_tpu.parallel.mesh import MeshConfig, make_mesh
+from multimodal_timesfm_tpu.training.evaluator import MultimodalEvaluator
+from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
+from multimodal_timesfm_tpu.training_args import TrainingArguments
+from multimodal_timesfm_tpu.types import PreprocessedSample
+
+CONTEXT, HORIZON, TEXT_DIMS = 16, 8, 6  # patch_len 4 -> 4 patches
+
+
+def _make_samples(n, seed, with_text=True):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        s = PreprocessedSample(
+            context=rng.normal(size=CONTEXT).astype(np.float32),
+            horizon=rng.normal(size=HORIZON).astype(np.float32),
+            metadata={"i": i},
+        )
+        if with_text:
+            s["text_embeddings"] = rng.normal(size=(4, TEXT_DIMS)).astype(np.float32)
+        out.append(s)
+    return out
+
+
+def _make_decoder():
+    return MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig.tiny()),
+        MultimodalDecoderConfig(text_embedding_dims=TEXT_DIMS),
+    )
+
+
+def _args(tmp_path, **kw):
+    defaults = dict(
+        output_dir=str(tmp_path / "out"),
+        per_device_train_batch_size=8,
+        per_device_eval_batch_size=8,
+        num_train_epochs=2,
+        learning_rate=1e-2,
+        eval_strategy="epoch",
+        save_strategy="best",
+        load_best_model_at_end=True,
+        logging_strategy="epoch",
+        seed=0,
+    )
+    defaults.update(kw)
+    return TrainingArguments(**defaults)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+
+
+def _build_trainer(tmp_path, mesh, mode, n_train=20, n_val=12, **args_kw):
+    decoder = _make_decoder()
+    params = decoder.init(jax.random.key(0))
+    with_text = mode == "multimodal"
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=_args(tmp_path, **args_kw),
+        train_dataset=PreprocessedDataset(_make_samples(n_train, 0, with_text), mode),
+        val_dataset=PreprocessedDataset(_make_samples(n_val, 1, with_text), mode),
+        mode=mode,
+        mesh=mesh,
+    )
+    return decoder, params, trainer
+
+
+def test_multimodal_training_updates_only_fusion(tmp_path, mesh):
+    decoder, params, trainer = _build_trainer(tmp_path, mesh, "multimodal")
+    before_adapter = jax.device_get(params["adapter"])
+    before_fusion = jax.device_get(params["fusion"])
+    trainer.train()
+    after = jax.device_get(trainer.params)
+
+    # adapter frozen
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        before_adapter,
+        after["adapter"],
+    )
+    # fusion moved
+    moved = jax.tree.leaves(
+        jax.tree.map(lambda a, b: not np.allclose(a, b), before_fusion, after["fusion"])
+    )
+    assert any(moved)
+
+
+def test_baseline_training_updates_adapter(tmp_path, mesh):
+    decoder, params, trainer = _build_trainer(tmp_path, mesh, "baseline")
+    before = jax.device_get(params["adapter"])
+    trainer.train()
+    after = jax.device_get(trainer.params)["adapter"]
+    moved = jax.tree.leaves(jax.tree.map(lambda a, b: not np.allclose(a, b), before, after))
+    assert any(moved)
+
+
+def test_training_reduces_loss_on_learnable_problem(tmp_path, mesh):
+    """Baseline fine-tune on a constant-output task must reduce train loss."""
+    rng = np.random.default_rng(7)
+    samples = []
+    for i in range(32):
+        ctx = rng.normal(size=CONTEXT).astype(np.float32)
+        samples.append(
+            PreprocessedSample(context=ctx, horizon=np.zeros(HORIZON, np.float32), metadata={})
+        )
+    decoder = _make_decoder()
+    params = decoder.init(jax.random.key(1))
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=_args(tmp_path, num_train_epochs=5, learning_rate=5e-3, save_strategy="no"),
+        train_dataset=samples,
+        val_dataset=samples[:8],
+        mode="baseline",
+        mesh=mesh,
+    )
+    losses = [trainer.train_epoch() for _ in range(5)]
+    assert losses[-1] < losses[0]
+
+
+def test_gradient_accumulation_equivalence(tmp_path, mesh):
+    """accum=2 with batch B must produce the same update as accum=1 with batch 2B
+    when batches tile evenly (reference semantics: grads averaged over the group)."""
+    samples = _make_samples(16, 3, with_text=False)
+
+    def run(accum, batch):
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(2))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(
+                tmp_path,
+                per_device_train_batch_size=batch,
+                gradient_accumulation_steps=accum,
+                num_train_epochs=1,
+                save_strategy="no",
+                seed=123,
+            ),
+            train_dataset=samples,
+            val_dataset=samples[:8],
+            mode="baseline",
+            mesh=mesh,
+        )
+        trainer.train_epoch()
+        return jax.device_get(trainer.state.trainable)
+
+    p_a = run(accum=2, batch=8)
+    p_b = run(accum=1, batch=16)
+    # The two runs draw the same 16-element permutation, so the accumulated
+    # gradient is mathematically identical. Tolerance is loose because Adam's
+    # first-step update lr*g/(sqrt(g^2)+eps) amplifies fp reduction-order
+    # noise enormously for near-zero gradient entries.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-3), p_a, p_b
+    )
+
+
+def test_partial_batch_and_padding_weights(tmp_path, mesh):
+    """Dataset size not divisible by batch trains fine and losses are finite."""
+    decoder, params, trainer = _build_trainer(
+        tmp_path, mesh, "multimodal", n_train=13, n_val=5
+    )
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    val = trainer.validate_epoch()
+    assert np.isfinite(val)
+
+
+def test_checkpoint_best_and_restore(tmp_path, mesh):
+    decoder, params, trainer = _build_trainer(tmp_path, mesh, "multimodal")
+    trainer.train()
+    best = trainer.args.checkpoint_dir / "best_model.ckpt"
+    assert best.exists()
+    assert trainer.best_val_loss < float("inf")
+
+
+def test_checkpoint_rotation(tmp_path, mesh):
+    decoder, params, trainer = _build_trainer(
+        tmp_path, mesh, "baseline", save_strategy="epoch", save_total_limit=1, num_train_epochs=3
+    )
+    trainer.train()
+    epochs = list(trainer.args.checkpoint_dir.glob("checkpoint_epoch_*.ckpt"))
+    assert len(epochs) == 1
+
+
+def test_evaluator_matches_manual_mse(tmp_path, mesh):
+    decoder = _make_decoder()
+    params = decoder.init(jax.random.key(4))
+    samples = _make_samples(11, 9, with_text=False)
+    evaluator = MultimodalEvaluator(decoder, mesh=mesh)
+    metrics = evaluator.evaluate(params, samples, batch_size=4)
+
+    # manual: per-sample forward
+    import jax.numpy as jnp
+
+    ctx = jnp.stack([jnp.asarray(s["context"]) for s in samples])
+    hor = np.stack([s["horizon"] for s in samples])
+    point = np.asarray(decoder(params, HORIZON, ctx, jnp.zeros_like(ctx, bool), None))
+    mse = float(np.mean((point - hor) ** 2))
+    mae = float(np.mean(np.abs(point - hor)))
+    np.testing.assert_allclose(metrics["mse"], mse, rtol=1e-4)
+    np.testing.assert_allclose(metrics["mae"], mae, rtol=1e-4)
+
+
+def test_empty_dataset_raises(tmp_path, mesh):
+    decoder = _make_decoder()
+    params = decoder.init(jax.random.key(5))
+    with pytest.raises(RuntimeError, match="empty"):
+        MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(tmp_path),
+            train_dataset=[],
+            val_dataset=_make_samples(4, 0, False),
+            mode="baseline",
+            mesh=mesh,
+        )
