@@ -87,7 +87,11 @@ class MultimodalTrainer:
         mode: TrainingMode,
         mesh=None,
         wandb_run=None,
+        shard_params_fn=None,
     ) -> None:
+        """``shard_params_fn(params_subtree, mesh)`` overrides the default
+        replicated placement — pass ``parallel.sharding.shard_params`` for
+        tensor parallelism over the mesh's ``model`` axis."""
         self.model = model
         self.args = args
         self.mode = mode
@@ -136,9 +140,16 @@ class MultimodalTrainer:
         # --- device placement ---
         self._dp = self.mesh.shape["data"] if self.mesh is not None else 1
         if self.mesh is not None:
-            rep = replicated(self.mesh)
-            self.state = jax.device_put(self.state, rep)
-            self.frozen = jax.device_put(self.frozen, rep)
+            if shard_params_fn is not None:
+                self.state = TrainState(
+                    shard_params_fn(self.state.trainable, self.mesh),
+                    shard_params_fn(self.state.opt_state, self.mesh),
+                )
+                self.frozen = shard_params_fn(self.frozen, self.mesh)
+            else:
+                rep = replicated(self.mesh)
+                self.state = jax.device_put(self.state, rep)
+                self.frozen = jax.device_put(self.frozen, rep)
 
         self._rng = np.random.default_rng(args.seed if args.seed is not None else 0)
 
