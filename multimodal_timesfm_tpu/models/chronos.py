@@ -1,0 +1,355 @@
+"""Chronos-2 backbone in JAX, and its adapter.
+
+Re-derivation of the ``Chronos2Model`` internals the reference adapter
+reaches into (SURVEY.md §2.5; reference
+``/root/reference/src/tsfmx/tsfm/chronos.py:16-207``):
+
+  * ``instance_norm``                — masked loc/scale standardization + inverse
+  * ``_prepare_patched_context``    — normalize, patch, time-encode
+  * ``input_patch_embedding``       — residual MLP over [time_enc, values, mask]
+  * ``shared`` + ``reg_token_id``   — learned [REG] token embedding table
+  * ``encoder(inputs_embeds, group_ids, attention_mask)`` — T5-style
+    encoder-only stack (RMSNorm pre-norm, relative position bias, ReLU FFN)
+  * ``output_patch_embedding``      — residual MLP -> quantiles x patch
+  * config fields input_patch_size / output_patch_size / max_output_patches /
+    time_encoding_scale / use_reg_token / quantiles / model_dim
+
+120M geometry assumption (upstream source unavailable offline; all knobs are
+config): model_dim 768, 16 layers, 12 heads, ffn 3072, patch 16/16, 9 decile
+quantiles (0.5 at index 4 = ``point_forecast_index``, matching the
+reference's ``quantiles.index(0.5)`` at ``chronos.py:33``).
+
+Group semantics: the adapter always passes ``group_ids = arange(B)``
+(``chronos.py:117``), i.e. every sample is its own attention group. This
+implementation enforces exactly that contract (per-row bidirectional
+attention with key-padding masks); packed multi-variate grouping is a
+documented extension point.
+
+Adapter semantics parity (reference ``chronos.py:35-169``):
+  * preprocess flips masks to Chronos convention (1.0 = valid), returns
+    embeddings + per-patch pad masks + (loc, scale),
+  * forward builds zero future patches with linear time encodings
+    ``arange(H)/time_encoding_scale``, embeds them with the same patch
+    embedding, prepends the [REG] token embedding, runs the encoder, and
+    returns the last ``max_output_patches`` hidden states,
+  * postprocess projects to quantiles, reshapes (B,P,Q,S)->(B,Q,P*S),
+    inverse-normalizes, slices the horizon -> (B, horizon, Q); horizon
+    beyond ``max_output_patches * output_patch_size`` raises.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_timesfm_tpu.models import layers as L
+from multimodal_timesfm_tpu.models.base import Params, PreprocessResult, TsfmAdapter
+
+_SCALE_EPS = 1e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class Chronos2Config:
+    """Architecture hyperparameters. Defaults = assumed 120M geometry."""
+
+    model_dim: int = 768
+    num_layers: int = 16
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    input_patch_size: int = 16
+    output_patch_size: int = 16
+    max_output_patches: int = 64
+    time_encoding_scale: float = 1000.0
+    use_reg_token: bool = True
+    reg_token_id: int = 0
+    vocab_size: int = 2  # tiny special-token table ("shared")
+    quantiles: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    rel_pos_buckets: int = 32
+    rel_pos_max_distance: int = 128
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def num_quantiles(self) -> int:
+        return len(self.quantiles)
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_dim // self.num_heads
+
+    @classmethod
+    def tiny(cls) -> "Chronos2Config":
+        return cls(
+            model_dim=32,
+            num_layers=2,
+            num_heads=2,
+            ffn_dim=64,
+            input_patch_size=4,
+            output_patch_size=4,
+            max_output_patches=4,
+        )
+
+
+# ---------------------------------------------------------------------------
+# instance norm (masked loc/scale)
+# ---------------------------------------------------------------------------
+
+
+def instance_norm_stats(context: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Masked mean/std over the valid context points. Returns (loc, scale), each (B, 1)."""
+    valid = valid.astype(context.dtype)
+    n = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1.0)
+    loc = jnp.sum(context * valid, axis=-1, keepdims=True) / n
+    var = jnp.sum(valid * (context - loc) ** 2, axis=-1, keepdims=True) / n
+    scale = jnp.sqrt(var)
+    scale = jnp.where(scale < _SCALE_EPS, 1.0, scale)
+    return loc, scale
+
+
+def instance_norm_inverse(x: jax.Array, loc: jax.Array, scale: jax.Array) -> jax.Array:
+    """Undo standardization; broadcasts (B, 1) stats over trailing dims of (B, ...)."""
+    extra = x.ndim - loc.ndim
+    return x * scale.reshape(scale.shape + (1,) * extra) + loc.reshape(loc.shape + (1,) * extra)
+
+
+# ---------------------------------------------------------------------------
+# T5-style encoder with relative position bias
+# ---------------------------------------------------------------------------
+
+
+def _relative_bucket(rel: jax.Array, num_buckets: int, max_distance: int) -> jax.Array:
+    """T5 bidirectional relative-position bucketing."""
+    num = num_buckets // 2
+    ret = jnp.where(rel > 0, num, 0)
+    rel = jnp.abs(rel)
+    max_exact = num // 2
+    is_small = rel < max_exact
+    log_ratio = jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact) / jnp.log(
+        max_distance / max_exact
+    )
+    large = max_exact + (log_ratio * (num - max_exact)).astype(jnp.int32)
+    large = jnp.minimum(large, num - 1)
+    return ret + jnp.where(is_small, rel, large)
+
+
+def init_chronos_encoder(rng: jax.Array, cfg: Chronos2Config) -> Params:
+    keys = jax.random.split(rng, cfg.num_layers + 2)
+    layers = []
+    for i in range(cfg.num_layers):
+        k1, k2, k3 = jax.random.split(keys[i], 3)
+        layers.append(
+            {
+                "attn_norm": L.init_rms_norm(cfg.model_dim),
+                "attn": {
+                    "q": L.init_dense(k1, cfg.model_dim, cfg.model_dim, bias=False),
+                    "k": L.init_dense(jax.random.fold_in(k1, 1), cfg.model_dim, cfg.model_dim, bias=False),
+                    "v": L.init_dense(jax.random.fold_in(k1, 2), cfg.model_dim, cfg.model_dim, bias=False),
+                    "out": L.init_dense(jax.random.fold_in(k1, 3), cfg.model_dim, cfg.model_dim, bias=False),
+                },
+                "ffn_norm": L.init_rms_norm(cfg.model_dim),
+                "ffn_up": L.init_dense(k2, cfg.model_dim, cfg.ffn_dim, bias=False),
+                "ffn_down": L.init_dense(k3, cfg.ffn_dim, cfg.model_dim, bias=False),
+            }
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "layers": stacked,
+        "rel_pos_bias": L.xavier_uniform(keys[-2], (cfg.rel_pos_buckets, cfg.num_heads)),
+        "final_norm": L.init_rms_norm(cfg.model_dim),
+    }
+
+
+def chronos_encoder(
+    params: Params, cfg: Chronos2Config, x: jax.Array, attention_mask: jax.Array
+) -> jax.Array:
+    """Bidirectional T5-style encoder. ``attention_mask``: (B, S), 1.0 = valid."""
+    _, seq, _ = x.shape
+
+    pos = jnp.arange(seq)
+    rel = pos[None, :] - pos[:, None]  # key - query
+    buckets = _relative_bucket(rel, cfg.rel_pos_buckets, cfg.rel_pos_max_distance)
+    bias = params["rel_pos_bias"][buckets]  # (S, S, H)
+    bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, S, S)
+
+    neg = jnp.finfo(jnp.float32).min
+    key_mask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+
+    def body(h, layer):
+        normed = L.rms_norm(layer["attn_norm"], h)
+        b, s, _ = normed.shape
+        q = L.dense(layer["attn"]["q"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = L.dense(layer["attn"]["k"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        v = L.dense(layer["attn"]["v"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        # T5 convention: no 1/sqrt(d) scaling (folded into weights).
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits + bias + key_mask
+        weights = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(b, s, cfg.model_dim).astype(h.dtype)
+        h = h + L.dense(layer["attn"]["out"], ctx)
+
+        normed = L.rms_norm(layer["ffn_norm"], h)
+        h = h + L.dense(layer["ffn_down"], jax.nn.relu(L.dense(layer["ffn_up"], normed)))
+        return h, None
+
+    out, _ = jax.lax.scan(body, x.astype(cfg.compute_dtype), params["layers"])
+    return L.rms_norm(params["final_norm"], out)
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+
+def init_chronos(rng: jax.Array, cfg: Chronos2Config) -> Params:
+    k_in, k_enc, k_out, k_shared = jax.random.split(rng, 4)
+    return {
+        "input_patch_embedding": L.init_residual_block(
+            k_in, 3 * cfg.input_patch_size, cfg.ffn_dim, cfg.model_dim
+        ),
+        "shared": L.xavier_uniform(k_shared, (cfg.vocab_size, cfg.model_dim)),
+        "encoder": init_chronos_encoder(k_enc, cfg),
+        "output_patch_embedding": L.init_residual_block(
+            k_out, cfg.model_dim, cfg.ffn_dim, cfg.num_quantiles * cfg.output_patch_size
+        ),
+    }
+
+
+class Chronos2Adapter(TsfmAdapter):
+    """Adapter exposing the Chronos-2 backbone through the TsfmAdapter contract.
+
+    Parity surface: reference ``Chronos2Adapter``
+    (``/root/reference/src/tsfmx/tsfm/chronos.py:16-207``).
+    """
+
+    def __init__(self, config: Chronos2Config | None = None) -> None:
+        self.config = config or Chronos2Config()
+
+    @property
+    def model_dims(self) -> int:
+        return self.config.model_dim
+
+    @property
+    def patch_len(self) -> int:
+        return self.config.input_patch_size
+
+    @property
+    def point_forecast_index(self) -> int:
+        return self.config.quantiles.index(0.5)
+
+    def init(self, rng: jax.Array) -> Params:
+        return init_chronos(rng, self.config)
+
+    # -- pipeline --
+
+    def preprocess(self, params: Params, inputs: jax.Array, masks: jax.Array) -> PreprocessResult:
+        """Normalize, patch, time-encode, and embed (reference ``chronos.py:35-60``).
+
+        ``masks``: bool (B, C), True = padded (project convention); flipped to
+        the Chronos 1.0=valid convention internally.
+        """
+        cfg = self.config
+        if masks.shape != inputs.shape:
+            raise ValueError(f"masks shape {masks.shape} must match inputs shape {inputs.shape}")
+        batch, context = inputs.shape
+        p = cfg.input_patch_size
+        if context % p != 0:
+            raise ValueError(f"context length ({context}) must be divisible by patch length ({p})")
+
+        valid = (~masks).astype(inputs.dtype)  # 1.0 = valid
+        loc, scale = instance_norm_stats(inputs, valid)
+        normed = (inputs - loc) / scale
+        normed = normed * valid  # zero padded positions
+
+        # Context time encodings end just before the forecast origin at 0.
+        time_enc = (jnp.arange(-context, 0, dtype=jnp.float32) / cfg.time_encoding_scale)[None]
+        time_enc = jnp.broadcast_to(time_enc, (batch, context))
+
+        def patch(x):
+            return x.reshape(batch, context // p, p)
+
+        features = jnp.concatenate(
+            [patch(time_enc), patch(normed), patch(valid)], axis=-1
+        ).astype(cfg.compute_dtype)
+        input_embeds = L.residual_block(
+            params["input_patch_embedding"], features, act=jax.nn.relu
+        )
+
+        # Per-patch attention mask: a patch is valid iff any point in it is valid.
+        patch_valid = jnp.max(patch(valid), axis=-1)
+
+        return PreprocessResult(
+            input_embeddings=input_embeds,
+            masks=patch_valid == 0,  # back to project convention: True = padded
+            normalization_stats={"loc": loc, "scale": scale},
+        )
+
+    def forward(self, params: Params, input_embeddings: jax.Array, masks: jax.Array) -> jax.Array:
+        """Append [REG] + zero future patches, run the encoder (reference ``chronos.py:62-126``).
+
+        ``masks`` here is the per-patch bool mask from preprocess (True = padded).
+        """
+        cfg = self.config
+        batch = input_embeddings.shape[0]
+        dtype = input_embeddings.dtype
+        n_out = cfg.max_output_patches
+        out_p = cfg.output_patch_size
+
+        final_future_len = n_out * out_p
+        future_time_enc = (
+            jnp.arange(0, final_future_len, dtype=jnp.float32) / cfg.time_encoding_scale
+        ).reshape(1, n_out, out_p)
+        future_time_enc = jnp.broadcast_to(future_time_enc, (batch, n_out, out_p)).astype(dtype)
+        zeros = jnp.zeros((batch, n_out, out_p), dtype)
+        future_features = jnp.concatenate([future_time_enc, zeros, zeros], axis=-1)
+        future_embeds = L.residual_block(
+            params["input_patch_embedding"], future_features, act=jax.nn.relu
+        )
+
+        attention_mask = (~masks).astype(dtype)  # (B, Nc) 1.0 = valid
+        future_mask = jnp.ones((batch, n_out), dtype)
+
+        if cfg.use_reg_token:
+            reg = jnp.broadcast_to(
+                params["shared"][cfg.reg_token_id][None, None, :], (batch, 1, cfg.model_dim)
+            ).astype(dtype)
+            embeds = jnp.concatenate([input_embeddings, reg, future_embeds], axis=-2)
+            attention_mask = jnp.concatenate(
+                [attention_mask, jnp.ones((batch, 1), dtype), future_mask], axis=-1
+            )
+        else:
+            embeds = jnp.concatenate([input_embeddings, future_embeds], axis=-2)
+            attention_mask = jnp.concatenate([attention_mask, future_mask], axis=-1)
+
+        hidden = chronos_encoder(params["encoder"], cfg, embeds, attention_mask)
+        return hidden[:, -n_out:]
+
+    def postprocess(
+        self,
+        params: Params,
+        horizon: int,
+        output_embeddings: jax.Array,
+        normalization_stats: dict[str, jax.Array],
+    ) -> jax.Array:
+        """Quantile head + inverse instance norm + horizon slice (reference ``chronos.py:128-169``)."""
+        cfg = self.config
+        max_horizon = cfg.max_output_patches * cfg.output_patch_size
+        if horizon > max_horizon:
+            raise ValueError(
+                f"horizon ({horizon}) exceeds the maximum prediction length "
+                f"({max_horizon} = {cfg.max_output_patches} patches * {cfg.output_patch_size} steps)."
+            )
+        batch = output_embeddings.shape[0]
+        q = cfg.num_quantiles
+
+        preds = L.residual_block(
+            params["output_patch_embedding"], output_embeddings, act=jax.nn.relu
+        ).astype(jnp.float32)
+        preds = preds.reshape(batch, cfg.max_output_patches, q, cfg.output_patch_size)
+        preds = jnp.transpose(preds, (0, 2, 1, 3)).reshape(batch, q, max_horizon)
+        preds = instance_norm_inverse(
+            preds, normalization_stats["loc"], normalization_stats["scale"]
+        )
+        return jnp.transpose(preds[:, :, :horizon], (0, 2, 1))

@@ -102,8 +102,8 @@ def init_residual_block(rng: jax.Array, in_dim: int, hidden_dim: int, out_dim: i
     }
 
 
-def residual_block(params: Params, x: jax.Array) -> jax.Array:
-    h = jax.nn.swish(dense(params["hidden"], x))
+def residual_block(params: Params, x: jax.Array, act=jax.nn.swish) -> jax.Array:
+    h = act(dense(params["hidden"], x))
     return dense(params["output"], h) + dense(params["residual"], x)
 
 

@@ -1,0 +1,115 @@
+"""Shape/semantics tests for the Chronos-2 backbone + adapter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_timesfm_tpu.models.chronos import (
+    Chronos2Adapter,
+    Chronos2Config,
+    instance_norm_inverse,
+    instance_norm_stats,
+)
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    return Chronos2Adapter(Chronos2Config.tiny())
+
+
+@pytest.fixture(scope="module")
+def params(adapter):
+    return adapter.init(jax.random.key(0))
+
+
+def test_properties(adapter):
+    assert adapter.patch_len == 4
+    assert adapter.model_dims == 32
+    assert adapter.point_forecast_index == 4  # 0.5 in the decile list
+
+
+def test_instance_norm_stats_masked():
+    x = jnp.array([[1.0, 2.0, 3.0, 100.0]])
+    valid = jnp.array([[1.0, 1.0, 1.0, 0.0]])
+    loc, scale = instance_norm_stats(x, valid)
+    np.testing.assert_allclose(np.asarray(loc), [[2.0]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scale), [[np.sqrt(2 / 3)]], atol=1e-6)
+    back = instance_norm_inverse((x - loc) / scale, loc, scale)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_instance_norm_constant_series():
+    x = jnp.full((1, 8), 5.0)
+    loc, scale = instance_norm_stats(x, jnp.ones((1, 8)))
+    assert float(scale[0, 0]) == 1.0  # degenerate scale -> 1.0
+
+
+def test_preprocess_shapes_and_mask_flip(adapter, params):
+    inputs = jnp.ones((2, 16))
+    masks = jnp.zeros((2, 16), bool).at[:, :4].set(True)  # first patch padded
+    pre = adapter.preprocess(params, inputs, masks)
+    assert pre.input_embeddings.shape == (2, 4, 32)
+    assert pre.masks.shape == (2, 4)
+    assert bool(pre.masks[0, 0]) and not bool(pre.masks[0, 1])
+    assert pre.normalization_stats["loc"].shape == (2, 1)
+
+
+def test_forward_appends_future_and_reg(adapter, params):
+    emb = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 32)), jnp.float32)
+    masks = jnp.zeros((2, 4), bool)
+    out = adapter.forward(params, emb, masks)
+    assert out.shape == (2, 4, 32)  # max_output_patches hidden states
+
+
+def test_postprocess_shapes_and_denorm(adapter, params):
+    out_emb = jnp.asarray(np.random.default_rng(1).normal(size=(2, 4, 32)), jnp.float32)
+    stats = {"loc": jnp.array([[10.0], [0.0]]), "scale": jnp.array([[2.0], [1.0]])}
+    preds = adapter.postprocess(params, 8, out_emb, stats)
+    assert preds.shape == (2, 8, 9)
+    # denormalization applied: sample 0 shifted by loc=10
+    zero_stats = {"loc": jnp.zeros((2, 1)), "scale": jnp.ones((2, 1))}
+    raw = adapter.postprocess(params, 8, out_emb, zero_stats)
+    np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(raw[0]) * 2.0 + 10.0, atol=1e-4)
+
+
+def test_postprocess_horizon_guard(adapter, params):
+    out_emb = jnp.zeros((1, 4, 32))
+    stats = {"loc": jnp.zeros((1, 1)), "scale": jnp.ones((1, 1))}
+    with pytest.raises(ValueError, match="exceeds the maximum"):
+        adapter.postprocess(params, 17, out_emb, stats)
+
+
+def test_padded_context_patches_ignored(adapter, params):
+    """Fully padded context patches must not change the forecast positions."""
+    rng = np.random.default_rng(2)
+    emb = jnp.asarray(rng.normal(size=(1, 4, 32)), jnp.float32)
+    masks = jnp.zeros((1, 4), bool).at[:, 0].set(True)
+    out_a = adapter.forward(params, emb, masks)
+    out_b = adapter.forward(params, emb.at[:, 0].add(7.0), masks)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+
+def test_full_decoder_pipeline_with_chronos(adapter, params):
+    decoder = MultimodalDecoder(adapter, MultimodalDecoderConfig(text_embedding_dims=6))
+    dec_params = {"adapter": params, "fusion": decoder.init(jax.random.key(1))["fusion"]}
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 16)), jnp.float32)
+    masks = jnp.zeros((2, 16), bool)
+    text = jnp.asarray(np.random.default_rng(4).normal(size=(2, 4, 6)), jnp.float32)
+    point = decoder(dec_params, 8, x, masks, text)
+    assert point.shape == (2, 8)
+    assert np.isfinite(np.asarray(point)).all()
+
+
+def test_jit_full_pipeline(adapter, params):
+    decoder = MultimodalDecoder(adapter, MultimodalDecoderConfig(text_embedding_dims=6))
+    dec_params = decoder.init(jax.random.key(5))
+
+    @jax.jit
+    def fn(p, x, m):
+        return decoder(p, 8, x, m, None)
+
+    out = fn(dec_params, jnp.ones((2, 16)), jnp.zeros((2, 16), bool))
+    assert out.shape == (2, 8)
+    assert np.isfinite(np.asarray(out)).all()
