@@ -15,11 +15,17 @@ from multimodal_timesfm_tpu.utils.yaml import load_yaml
 
 @dataclass
 class AdapterConfig:
-    """TSFM adapter selection + geometry."""
+    """TSFM adapter selection + geometry.
+
+    ``arch`` holds optional architecture-hyperparameter overrides forwarded
+    to the backbone config (e.g. tiny geometries for tests) — an extension
+    over the reference's fixed upstream geometry.
+    """
 
     type: Literal["chronos", "timesfm"] = "timesfm"
     pretrained_repo: str = "google/timesfm-2.5-200m-pytorch"
     patch_len: int = 32
+    arch: dict = field(default_factory=dict)
 
 
 @dataclass

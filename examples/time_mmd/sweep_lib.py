@@ -1,0 +1,214 @@
+"""Shared sweep-trial logic for the tuning scripts.
+
+Factors out the per-trial train/evaluate flow used by both
+``scripts/tune_time_mmd_sweep.py`` and ``scripts/tune_baseline_sweep.py``
+(reference: ``/root/reference/scripts/tune_time_mmd_sweep.py:64-266`` and
+``tune_baseline_sweep.py`` share the same shape).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+
+from examples.time_mmd.configs.forecast import ForecastConfig
+from examples.time_mmd.configs.model import ModelConfig
+from examples.time_mmd.cross_validation import DomainSpec, load_fold_datasets
+from multimodal_timesfm_tpu.models.base import TsfmAdapter
+from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
+from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+from multimodal_timesfm_tpu.training.checkpoint import load_checkpoint
+from multimodal_timesfm_tpu.training.evaluator import MultimodalEvaluator
+from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
+from multimodal_timesfm_tpu.training_args import TrainingArguments
+from multimodal_timesfm_tpu.types import TrainingMode
+from multimodal_timesfm_tpu.utils.logging import get_logger
+
+_logger = get_logger()
+
+# Fixed fold selected for high-quality textual data, matching the reference
+# (``tune_time_mmd_sweep.py:304-317``).
+FOLD_DOMAINS = ["Agriculture", "Economy", "Environment", "Health_US", "Traffic"]
+
+
+def fold_domain_specs(augment_splits: set[str]) -> tuple[list[DomainSpec], list[DomainSpec], list[DomainSpec]]:
+    """Train/val/test DomainSpecs for the fixed fold."""
+    return tuple(
+        [DomainSpec(name=f"{d}_{split}", augment=split in augment_splits) for d in FOLD_DOMAINS]
+        for split in ("train", "val", "test")
+    )
+
+
+def parse_fusion_hparams(config) -> tuple[int, list[int]]:
+    """Extract fusion MLP architecture from a sweep run config.
+
+    Parity: reference ``tune_time_mmd_sweep.py:64-96`` (same keys and guards).
+    """
+    num_fusion_layers = config.get("num_fusion_layers", 1)
+    fusion_hidden_dims: list[int] = []
+    if num_fusion_layers == 1:
+        pass
+    elif num_fusion_layers == 2:
+        dim = config.get("fusion_hidden_dim", None)
+        if dim is None:
+            raise ValueError("fusion_hidden_dim is required when num_fusion_layers is 2")
+        fusion_hidden_dims = [dim]
+    elif num_fusion_layers == 3:
+        d1 = config.get("fusion_hidden_dim_1", None)
+        d2 = config.get("fusion_hidden_dim_2", None)
+        if d1 is None or d2 is None:
+            raise ValueError(
+                "fusion_hidden_dim_1 and fusion_hidden_dim_2 are required when num_fusion_layers is 3"
+            )
+        fusion_hidden_dims = [d1, d2]
+    else:
+        raise ValueError(f"num_fusion_layers must be between 1 and 3, got {num_fusion_layers}")
+    return num_fusion_layers, fusion_hidden_dims
+
+
+def build_adapter(model_config: ModelConfig, pretrained_dir: str | None) -> TsfmAdapter:
+    """Construct the configured backbone adapter.
+
+    ``pretrained_dir`` points at a local checkpoint directory (see
+    ``models/convert.py``); without it the backbone is randomly initialized
+    (logged — this environment has no network access for HF downloads).
+    """
+    arch = dict(model_config.adapter.arch)
+    if model_config.adapter.type == "timesfm":
+        adapter: TsfmAdapter = TimesFM2p5Adapter(TimesFMConfig(**arch))
+    elif model_config.adapter.type == "chronos":
+        if "quantiles" in arch:
+            arch["quantiles"] = tuple(arch["quantiles"])
+        adapter = Chronos2Adapter(Chronos2Config(**arch))
+    else:
+        raise NotImplementedError(f"Unsupported adapter type: {model_config.adapter.type!r}")
+    if adapter.patch_len != model_config.adapter.patch_len:
+        raise ValueError(
+            f"adapter.patch_len ({adapter.patch_len}) does not match "
+            f"model_config.adapter.patch_len ({model_config.adapter.patch_len}); "
+            "the cached dataset was built with the config value — rebuild the cache or fix the config."
+        )
+    return adapter
+
+
+def init_decoder_params(decoder: MultimodalDecoder, pretrained_dir: str | None, seed: int):
+    """Init decoder params; load backbone weights from a local dir when given."""
+    params = decoder.init(jax.random.key(seed))
+    if pretrained_dir is not None:
+        from multimodal_timesfm_tpu.models.convert import load_backbone_checkpoint
+
+        params["adapter"] = load_backbone_checkpoint(Path(pretrained_dir), decoder.adapter)
+        _logger.info("Loaded pretrained backbone from %s", pretrained_dir)
+    else:
+        _logger.warning("No --pretrained-dir given: backbone is randomly initialized")
+    return params
+
+
+def override_training_args(base: TrainingArguments, config) -> TrainingArguments:
+    """Apply sweep-sampled hyperparameters (reference ``tune_time_mmd_sweep.py:182-191``)."""
+    return replace(
+        base,
+        per_device_train_batch_size=config.get("batch_size", base.per_device_train_batch_size),
+        num_train_epochs=config.get("num_epochs", base.num_train_epochs),
+        learning_rate=config.get("learning_rate", base.learning_rate),
+        lr_scheduler_type=config.get("lr_scheduler_type", base.lr_scheduler_type),
+        warmup_steps=config.get("warmup_steps", base.warmup_steps),
+        weight_decay=config.get("weight_decay", base.weight_decay),
+        gradient_accumulation_steps=config.get(
+            "gradient_accumulation_steps", base.gradient_accumulation_steps
+        ),
+    )
+
+
+def train_and_evaluate(
+    run,
+    base_training_args: TrainingArguments,
+    model_config: ModelConfig,
+    forecast_config: ForecastConfig,
+    mode: TrainingMode,
+    cache_dir: Path,
+    augment_splits: set[str],
+    pretrained_dir: str | None,
+    mesh=None,
+) -> dict:
+    """One sweep trial: train, restore best, evaluate on test, log, clean up.
+
+    Parity: reference ``_train_and_evaluate`` (``tune_time_mmd_sweep.py:148-266``).
+    """
+    config = run.config
+    _logger.info("Starting sweep run %s with config: %s", run.id, dict(config.items()))
+
+    num_fusion_layers, fusion_hidden_dims = parse_fusion_hparams(config)
+    training_args = override_training_args(base_training_args, config)
+
+    train_specs, val_specs, test_specs = fold_domain_specs(augment_splits)
+    train_dataset, val_dataset, test_dataset = load_fold_datasets(
+        train_domain_specs=train_specs,
+        val_domain_specs=val_specs,
+        test_domain_specs=test_specs,
+        text_encoder_type=model_config.fusion.text_encoder_type,
+        patch_len=model_config.adapter.patch_len,
+        context_len=forecast_config.context_len,
+        horizon_len=forecast_config.horizon_len,
+        cache_dir=cache_dir,
+    )
+
+    adapter = build_adapter(model_config, pretrained_dir)
+    decoder = MultimodalDecoder(
+        adapter,
+        MultimodalDecoderConfig(
+            text_embedding_dims=model_config.fusion.text_embedding_dims,
+            num_fusion_layers=num_fusion_layers,
+            fusion_hidden_dims=tuple(fusion_hidden_dims),
+        ),
+    )
+    params = init_decoder_params(decoder, pretrained_dir, training_args.seed or 0)
+
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=training_args,
+        train_dataset=train_dataset,
+        val_dataset=val_dataset,
+        mode=mode,
+        mesh=mesh,
+        wandb_run=run,
+    )
+    trainer.train()
+
+    best_path = training_args.checkpoint_dir / "best_model.ckpt"
+    checkpoint = load_checkpoint(best_path)
+    best_val_loss = checkpoint["best_val_loss"]
+    trainer._load_checkpoint_state(checkpoint)
+
+    evaluator = MultimodalEvaluator(decoder, mesh=mesh)
+    test_metrics = evaluator.evaluate(
+        trainer.params,
+        test_dataset,
+        batch_size=training_args.per_device_eval_batch_size,
+        multimodal=mode == "multimodal",
+    )
+
+    _logger.info(
+        "Run %s — best_val_loss: %.6f, test_mse: %.6f, test_mae: %.6f",
+        run.id,
+        best_val_loss,
+        test_metrics["mse"],
+        test_metrics["mae"],
+    )
+    run.log(
+        {
+            "val/best_loss": best_val_loss,
+            "test/mse": test_metrics["mse"],
+            "test/mae": test_metrics["mae"],
+        },
+        step=trainer.global_step,
+    )
+
+    if training_args.checkpoint_dir.exists():
+        shutil.rmtree(training_args.checkpoint_dir)
+    return dict(test_metrics)

@@ -1,0 +1,162 @@
+"""End-to-end integration: split -> cache -> local sweep, both backbones.
+
+Miniature versions of the five driver configs (BASELINE.md): baseline and
+multimodal fine-tune + eval on synthetic Time-MMD-format data through the
+real CLI entry points (mains called in-process).
+"""
+
+import json
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from examples.time_mmd.sweep_lib import FOLD_DOMAINS
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic Time-MMD tree with all five fold domains."""
+    root = tmp_path_factory.mktemp("time_mmd")
+    rng = np.random.default_rng(0)
+    n = 120
+    dates = pd.date_range("2020-01-01", periods=n, freq="D").strftime("%Y-%m-%d")
+    for domain in FOLD_DOMAINS:
+        num_dir = root / "numerical" / domain
+        num_dir.mkdir(parents=True)
+        pd.DataFrame(
+            {
+                "start_date": dates,
+                "end_date": dates,
+                "OT": np.cumsum(rng.normal(size=n)) + 10,
+            }
+        ).to_csv(num_dir / f"{domain}.csv", index=False)
+        txt_dir = root / "textual" / domain
+        txt_dir.mkdir(parents=True)
+        pd.DataFrame(
+            {
+                "start_date": dates[::10],
+                "end_date": dates[9::10],
+                "fact": [f"{domain} report {i}" for i in range(n // 10)],
+                "preds": [f"{domain} outlook {i}" for i in range(n // 10)],
+            }
+        ).to_csv(txt_dir / f"{domain}_report.csv", index=False)
+    return root
+
+
+@pytest.fixture(scope="module")
+def configs(tmp_path_factory):
+    cfg_dir = tmp_path_factory.mktemp("configs")
+    model_cfg = {
+        "adapter": {
+            "type": "timesfm",
+            "patch_len": 4,
+            "arch": {
+                "input_patch_len": 4,
+                "output_patch_len": 8,
+                "model_dims": 32,
+                "ffn_dims": 32,
+                "num_layers": 2,
+                "num_heads": 2,
+            },
+        },
+        "fusion": {"text_encoder_type": "english", "text_embedding_dims": 384},
+    }
+    (cfg_dir / "model.yml").write_text(yaml.safe_dump(model_cfg))
+    (cfg_dir / "forecast.yml").write_text(yaml.safe_dump({"context_len": 16, "horizon_len": 8}))
+    sweep_cfg = {
+        "method": "bayes",
+        "metric": {"name": "test/mse", "goal": "minimize"},
+        "parameters": {
+            "num_fusion_layers": {"value": 1},
+            "batch_size": {"values": [8]},
+            "num_epochs": {"values": [2]},
+            "learning_rate": {"distribution": "log_uniform_values", "min": 1e-4, "max": 1e-3},
+            "lr_scheduler_type": {"values": ["cosine"]},
+            "warmup_steps": {"distribution": "uniform", "min": 0.0, "max": 0.1},
+            "weight_decay": {"distribution": "log_uniform_values", "min": 1e-4, "max": 1e-2},
+            "gradient_accumulation_steps": {"values": [1]},
+        },
+    }
+    (cfg_dir / "sweep.yml").write_text(yaml.safe_dump(sweep_cfg))
+    return cfg_dir
+
+
+def _run(monkeypatch, module, argv):
+    monkeypatch.setattr(sys, "argv", argv)
+    assert module.main() == 0
+
+
+@pytest.fixture(scope="module")
+def split_and_cache(data_root, configs, tmp_path_factory):
+    """Run the split + cache scripts once for the module."""
+    import scripts.split_time_mmd_datasets as split_mod
+    import scripts.cache_time_mmd_datasets as cache_mod
+
+    cache_dir = tmp_path_factory.mktemp("cache")
+    argv_split = [
+        "split", "--data-path", str(data_root), "--train-ratio", "0.6", "--val-ratio", "0.2",
+    ]
+    old_argv = sys.argv
+    try:
+        sys.argv = argv_split
+        assert split_mod.main() == 0
+        for augment in ([], ["--augment"]):
+            sys.argv = [
+                "cache",
+                "--data-path", str(data_root),
+                "--model-config", str(configs / "model.yml"),
+                "--forecast-config", str(configs / "forecast.yml"),
+                "--text-encoder-type", "english",
+                "--cache-dir", str(cache_dir),
+                "--seed", "0",
+            ] + augment
+            assert cache_mod.main() == 0
+    finally:
+        sys.argv = old_argv
+    return cache_dir
+
+
+def test_split_outputs(data_root, split_and_cache):
+    for split in ("train", "val", "test"):
+        d = f"Agriculture_{split}"
+        assert (data_root / "numerical" / d / f"{d}.csv").exists()
+        assert (data_root / "textual" / d / f"{d}_report.csv").exists()
+
+
+def test_cache_outputs(split_and_cache):
+    files = sorted(p.name for p in split_and_cache.glob("*.pkl"))
+    assert any("Agriculture_train" in f and f.endswith("aug.pkl") for f in files)
+    assert any("Agriculture_train" in f and not f.endswith("aug.pkl") for f in files)
+
+
+@pytest.mark.parametrize("mode", ["multimodal", "baseline"])
+def test_local_sweep_end_to_end(
+    data_root, configs, split_and_cache, tmp_path, monkeypatch, mode
+):
+    import scripts.tune_time_mmd_sweep as sweep_mod
+
+    out_dir = tmp_path / f"sweep_{mode}"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "tune",
+            "--sweep-config", str(configs / "sweep.yml"),
+            "--count", "1",
+            "--model-config", str(configs / "model.yml"),
+            "--forecast-config", str(configs / "forecast.yml"),
+            "--cache-dir", str(split_and_cache),
+            "--offline",
+            "--output-dir", str(out_dir),
+            "--seed", "0",
+        ],
+    )
+    assert sweep_mod.main(mode=mode) == 0
+
+    results = (out_dir / "sweep_results.jsonl").read_text().strip().splitlines()
+    final = json.loads(results[-1])
+    assert "test/mse" in final and np.isfinite(final["test/mse"])
+    assert "val/best_loss" in final
