@@ -102,8 +102,9 @@ def main() -> int:
 
     trainer = build_trainer(args.batch_size, args.num_samples, args.epochs + 1, args.tiny)
 
-    # Warmup epoch: compile + first transfer.
+    # Warmup: compile train + eval programs and do the first transfers.
     trainer.train_epoch()
+    trainer.validate_epoch()
 
     t0 = time.perf_counter()
     for _ in range(args.epochs):

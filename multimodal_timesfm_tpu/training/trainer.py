@@ -16,13 +16,15 @@ Capability parity with the reference ``MultimodalTrainer``
 
 TPU-native execution model (NOT the reference's per-batch host loop):
 
-  * the entire dataset is staged into dense arrays once; each epoch is a
-    host-side permutation + ONE device transfer + ONE jitted
-    ``lax.scan`` over optimizer steps (micro-batches scanned inside),
+  * the entire dataset is staged to the device ONCE at construction; each
+    epoch transfers only a tiny permutation-index tensor and runs ONE jitted
+    ``lax.scan`` over optimizer steps (micro-batches are device-side gathers,
+    scanned inside) — no per-epoch host reshuffling or bulk transfers,
   * batches are padded to static shapes with zero-weight rows; the weighted
     loss reproduces the reference's partial-batch semantics exactly,
-  * arrays are sharded over the mesh's ``data`` axis; the gradient psum is
-    inserted by XLA from the shardings — no explicit collectives.
+  * gathered batches are shard-constrained over the mesh's ``data`` axis
+    (the dataset itself stays replicated — it is small); the gradient psum
+    is inserted by XLA from the shardings — no explicit collectives.
 """
 
 from __future__ import annotations
@@ -153,6 +155,10 @@ class MultimodalTrainer:
 
         self._rng = np.random.default_rng(args.seed if args.seed is not None else 0)
 
+        # Stage both datasets to device once (replicated; they are small).
+        self._train_device = self._to_device(self.train_data)
+        self._val_device = self._to_device(self.val_data)
+
         # Training state (parity: reference trainer.py:116-118)
         self.current_epoch = 0
         self.global_step = 0
@@ -180,14 +186,29 @@ class MultimodalTrainer:
         denom = jnp.maximum(jnp.sum(weights) * self.horizon_len, 1.0)
         return jnp.sum(err * weights[:, None]) / denom
 
+    def _batch_constraint(self, tree):
+        """Constrain a gathered micro-batch to data-axis sharding (no-op without a mesh)."""
+        if self.mesh is None:
+            return tree
+        spec = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
+        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, spec), tree)
+
+    def _gather(self, data, idx, weights):
+        """Device-side micro-batch gather: rows ``idx`` of each dataset array."""
+        mb = {k: v[idx] for k, v in data.items()}
+        mb["weights"] = weights
+        return self._batch_constraint(mb)
+
     def _build_step_fns(self) -> None:
         accum = self.args.gradient_accumulation_steps
         grad_fn = jax.value_and_grad(self._loss_fn)
 
-        def optimizer_step(state: TrainState, frozen, group):
-            """One optimizer step: scan over ``accum`` micro-batches, then update."""
+        def optimizer_step(state: TrainState, frozen, data, idx_group, w_group):
+            """One optimizer step: scan over ``accum`` micro-batch gathers, then update."""
 
-            def micro(grads_acc, mb):
+            def micro(grads_acc, xs):
+                idx, w = xs
+                mb = self._gather(data, idx, w)
                 loss, grads = grad_fn(
                     state.trainable,
                     frozen,
@@ -200,99 +221,84 @@ class MultimodalTrainer:
                 return grads_acc, loss
 
             zeros = jax.tree.map(jnp.zeros_like, state.trainable)
-            grads, losses = jax.lax.scan(micro, zeros, group)
+            grads, losses = jax.lax.scan(micro, zeros, (idx_group, w_group))
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
             return TrainState(trainable, opt_state), losses
 
-        def train_epoch_fn(state: TrainState, frozen, epoch_data):
-            def step(carry, group):
-                return optimizer_step(carry, frozen, group)
+        def train_epoch_fn(state: TrainState, frozen, data, perm, weights):
+            """perm/weights: (num_steps, accum, B) index/weight tensors."""
 
-            state, losses = jax.lax.scan(step, state, epoch_data)
+            def step(carry, xs):
+                idx_group, w_group = xs
+                return optimizer_step(carry, frozen, data, idx_group, w_group)
+
+            state, losses = jax.lax.scan(step, state, (perm, weights))
             return state, losses  # losses: (num_steps, accum)
 
-        def eval_fn(trainable, frozen, batches):
-            """Per-micro-batch weighted (mse, mae, valid_count) over a scanned epoch."""
+        def eval_fn(trainable, frozen, data, perm, weights):
+            """Per-micro-batch weighted (mse, mae, valid_count); perm: (num_batches, B)."""
             params = dict(frozen)
             params[self.trainable_key] = trainable
 
-            def one(_, mb):
+            def one(_, xs):
+                idx, w = xs
+                mb = self._gather(data, idx, w)
                 masks = jnp.zeros_like(mb["context"], dtype=bool)
                 point = self.model(
                     params, self.horizon_len, mb["context"], masks, mb.get("text")
                 )
                 err = point.astype(jnp.float32) - mb["horizon"]
-                w = mb["weights"][:, None]
                 denom = jnp.maximum(jnp.sum(mb["weights"]) * self.horizon_len, 1.0)
-                mse = jnp.sum(err * err * w) / denom
-                mae = jnp.sum(jnp.abs(err) * w) / denom
+                mse = jnp.sum(err * err * mb["weights"][:, None]) / denom
+                mae = jnp.sum(jnp.abs(err) * mb["weights"][:, None]) / denom
                 return None, (mse, mae, jnp.sum(mb["weights"]))
 
-            _, out = jax.lax.scan(one, None, batches)
+            _, out = jax.lax.scan(one, None, (perm, weights))
             return out
 
         self._train_epoch_fn = jax.jit(train_epoch_fn, donate_argnums=(0,))
         self._eval_fn = jax.jit(eval_fn)
 
     # ------------------------------------------------------------------
-    # host-side epoch staging
+    # host-side epoch index staging (tiny transfers; data already on device)
     # ------------------------------------------------------------------
 
-    def _stage(
-        self,
-        data: StackedDataset,
-        batch: int,
-        shuffle: bool,
-        group_by_accum: bool,
-    ):
-        """Permute, pad to static shapes, reshape to scan layout, place on device.
+    def _to_device(self, data: StackedDataset):
+        tree = {"context": data.context, "horizon": data.horizon}
+        if data.text_embeddings is not None:
+            tree["text"] = data.text_embeddings
+        if self.mesh is not None:
+            return jax.device_put(tree, replicated(self.mesh))
+        return jax.tree.map(jnp.asarray, tree)
 
-        Returns (device_tree, num_real_batches). Layout is
-        (steps, accum, B, ...) when grouping, else (num_batches, B, ...).
+    def _epoch_indices(self, n: int, batch: int, shuffle: bool, accum: int):
+        """Build (perm, weights, num_batches) with scan layout (steps, accum, B).
+
+        Rows are padded to static shapes with index 0 / weight 0; the weighted
+        loss makes padded rows inert, reproducing the reference's partial-batch
+        semantics.
         """
-        n = len(data)
         idx = self._rng.permutation(n) if shuffle else np.arange(n)
-
-        accum = self.args.gradient_accumulation_steps if group_by_accum else 1
         num_batches = math.ceil(n / batch)
         num_steps = math.ceil(num_batches / accum)
         b_padded = math.ceil(batch / self._dp) * self._dp
         total = num_steps * accum * b_padded
 
-        take = np.resize(idx, total)  # wraps; padded rows get weight 0
+        take = np.zeros(total, np.int64)
         weights = np.zeros(total, np.float32)
-        # Real rows: the first `min(n, batch)` rows of each batch slot are real
-        # only up to n samples overall; reconstruct per-batch real counts.
         for bi in range(num_batches):
             real = min(batch, n - bi * batch)
-            weights[bi * b_padded : bi * b_padded + real] = 1.0
             take[bi * b_padded : bi * b_padded + real] = idx[bi * batch : bi * batch + real]
+            weights[bi * b_padded : bi * b_padded + real] = 1.0
 
-        def shape(x):
-            lead = (num_steps, accum, b_padded) if group_by_accum else (num_batches * accum, b_padded)
-            return x[take].reshape(lead + x.shape[1:])
-
-        tree = {
-            "context": shape(data.context),
-            "horizon": shape(data.horizon),
-            "weights": weights.reshape(
-                (num_steps, accum, b_padded) if group_by_accum else (num_batches, b_padded)
-            ),
-        }
-        if data.text_embeddings is not None:
-            tree["text"] = shape(data.text_embeddings)
-
+        shape = (num_steps, accum, b_padded)
+        perm = take.reshape(shape).astype(np.int32)
+        weights = weights.reshape(shape)
         if self.mesh is not None:
-            # Shard the per-batch row dim (B) over the data axis; scan dims replicated.
-            lead = (None, None) if group_by_accum else (None,)
-            spec = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec(*lead, "data")
-            )
-            tree = jax.tree.map(lambda x: jax.device_put(x, spec), tree)
-        else:
-            tree = jax.tree.map(jnp.asarray, tree)
-        return tree, num_batches
+            rep = replicated(self.mesh)
+            return jax.device_put(perm, rep), jax.device_put(weights, rep), num_batches
+        return jnp.asarray(perm), jnp.asarray(weights), num_batches
 
     # ------------------------------------------------------------------
     # public API (parity with reference trainer.py:185-399)
@@ -300,16 +306,21 @@ class MultimodalTrainer:
 
     def train_epoch(self) -> float:
         """Train one epoch; returns the average per-micro-batch training loss."""
-        epoch_data, num_batches = self._stage(
-            self.train_data, self.args.per_device_train_batch_size, shuffle=True, group_by_accum=True
+        perm, weights, num_batches = self._epoch_indices(
+            len(self.train_data),
+            self.args.per_device_train_batch_size,
+            shuffle=True,
+            accum=self.args.gradient_accumulation_steps,
         )
         t0 = time.perf_counter()
-        self.state, losses = self._train_epoch_fn(self.state, self.frozen, epoch_data)
+        self.state, losses = self._train_epoch_fn(
+            self.state, self.frozen, self._train_device, perm, weights
+        )
         losses = np.asarray(losses).reshape(-1)[:num_batches]
         elapsed = time.perf_counter() - t0
         self.last_throughput = len(self.train_data) / max(elapsed, 1e-9)
 
-        num_steps = epoch_data["weights"].shape[0]
+        num_steps = perm.shape[0]
         self.global_step += num_steps
 
         if (
@@ -329,10 +340,12 @@ class MultimodalTrainer:
 
     def validate_epoch(self) -> float:
         """One validation epoch; average per-micro-batch loss (reference :247-283)."""
-        batches, num_batches = self._stage(
-            self.val_data, self.args.per_device_eval_batch_size, shuffle=False, group_by_accum=False
+        perm, weights, num_batches = self._epoch_indices(
+            len(self.val_data), self.args.per_device_eval_batch_size, shuffle=False, accum=1
         )
-        mse, _, _ = self._eval_fn(self.state.trainable, self.frozen, batches)
+        mse, _, _ = self._eval_fn(
+            self.state.trainable, self.frozen, self._val_device, perm[:, 0], weights[:, 0]
+        )
         return float(np.mean(np.asarray(mse)[:num_batches]))
 
     @property
