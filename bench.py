@@ -25,7 +25,19 @@ from pathlib import Path
 import numpy as np
 
 
-def build_trainer(batch_size: int, num_samples: int, epochs: int, tiny: bool = False):
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat bench runs skip the slow compile."""
+    import jax
+
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_trainer(
+    batch_size: int, num_samples: int, epochs: int, tiny: bool = False, dtype: str = "bfloat16"
+):
     import jax
 
     from multimodal_timesfm_tpu.data.collate import StackedDataset
@@ -38,7 +50,13 @@ def build_trainer(batch_size: int, num_samples: int, epochs: int, tiny: bool = F
     from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
     from multimodal_timesfm_tpu.training_args import TrainingArguments
 
-    cfg = TimesFMConfig.tiny() if tiny else TimesFMConfig()
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if tiny:
+        cfg = TimesFMConfig.tiny()
+    else:
+        cfg = TimesFMConfig(compute_dtype=compute_dtype)
     context_len = 8 * cfg.input_patch_len if tiny else 32
     horizon_len = min(cfg.output_patch_len, 32)
     num_patches = context_len // cfg.input_patch_len
@@ -94,13 +112,17 @@ def build_trainer(batch_size: int, num_samples: int, epochs: int, tiny: bool = F
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--num-samples", type=int, default=2048)
     parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     parser.add_argument("--tiny", action="store_true", help="Tiny model (debug)")
     args = parser.parse_args()
 
-    trainer = build_trainer(args.batch_size, args.num_samples, args.epochs + 1, args.tiny)
+    _enable_compile_cache()
+    trainer = build_trainer(
+        args.batch_size, args.num_samples, args.epochs + 1, args.tiny, args.dtype
+    )
 
     # Warmup: compile train + eval programs and do the first transfers.
     trainer.train_epoch()

@@ -136,6 +136,9 @@ def causal_attention(
 ) -> jax.Array:
     """Multi-head causal self-attention with key-padding masking.
 
+    Uses the Pallas fused kernel (``ops/attention.py``) when the sequence
+    meets its tiling constraints on TPU; otherwise the XLA path.
+
     Args:
         x: (B, N, D) hidden states.
         paddings: (B, N) bool, True = padded token.
@@ -143,20 +146,22 @@ def causal_attention(
     Returns:
         (B, N, D).
     """
+    from multimodal_timesfm_tpu.ops.attention import (
+        fused_causal_attention,
+        supports_pallas,
+        xla_causal_attention,
+    )
+
     batch, seq, _ = x.shape
     qkv = dense(params["qkv"], x).reshape(batch, seq, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = _scale_query(q, params["per_dim_scale"], head_dim)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-
-    causal = jnp.tril(jnp.ones((seq, seq), bool))
     key_valid = ~paddings  # (B, N)
-    mask = causal[None, None, :, :] & key_valid[:, None, None, :]
-    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-
-    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
+    if supports_pallas(seq, head_dim):
+        out = fused_causal_attention(q, k, v, key_valid)
+    else:
+        out = xla_causal_attention(q, k, v, key_valid)
     out = out.reshape(batch, seq, num_heads * head_dim).astype(x.dtype)
     return dense(params["out"], out)
 

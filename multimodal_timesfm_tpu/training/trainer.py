@@ -161,6 +161,7 @@ class MultimodalTrainer:
 
         # Training state (parity: reference trainer.py:116-118)
         self.current_epoch = 0
+        self.start_epoch = 0
         self.global_step = 0
         self.best_val_loss = float("inf")
         self.last_throughput: float | None = None
@@ -374,6 +375,31 @@ class MultimodalTrainer:
             restored = jax.device_put(restored, replicated(self.mesh))
         self.state = TrainState(restored, self.state.opt_state)
 
+    def resume_from_checkpoint(self, path) -> None:
+        """Mid-run resume: restore params, optimizer state, and counters.
+
+        An improvement over the reference, which saves optimizer/scheduler
+        state but has no entry point to continue training from it
+        (SURVEY.md §5). Call before ``train()``; training continues at the
+        epoch after the checkpointed one.
+        """
+        checkpoint = load_checkpoint(path)
+        self._load_checkpoint_state(checkpoint)
+        opt_state = jax.tree.map(jnp.asarray, checkpoint["optimizer_state"])
+        if self.mesh is not None:
+            opt_state = jax.device_put(opt_state, replicated(self.mesh))
+        self.state = TrainState(self.state.trainable, opt_state)
+        self.start_epoch = checkpoint["epoch"] + 1
+        self.current_epoch = self.start_epoch
+        self.global_step = checkpoint["global_step"]
+        self.best_val_loss = checkpoint["best_val_loss"]
+        _logger.info(
+            "Resumed from %s at epoch %d (global step %d)",
+            path,
+            self.start_epoch,
+            self.global_step,
+        )
+
     def save_ckpt(self, val_loss: float) -> None:
         """Epoch/best checkpoint policy with rotation (reference :325-354)."""
         is_best = val_loss < self.best_val_loss
@@ -406,7 +432,7 @@ class MultimodalTrainer:
         _logger.info("Train dataset size: %d", len(self.train_data))
         _logger.info("Validation dataset size: %d", len(self.val_data))
 
-        for epoch in range(self.args.num_train_epochs):
+        for epoch in range(self.start_epoch, self.args.num_train_epochs):
             self.current_epoch = epoch
             epoch_lr = float(self.schedule(self.global_step))
 
