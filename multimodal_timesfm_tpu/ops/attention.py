@@ -54,11 +54,16 @@ def xla_causal_attention(q, k, v, key_valid):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
-    """One (batch*head) slice: fused softmax(QK^T + causal + padding) V."""
+    """One (batch*head) slice: fused softmax(QK^T + causal + padding) V.
+
+    ``valid_ref`` is the full (B*H, S) mask in VMEM (unblocked — TPU block
+    shapes need sublane-divisible leading dims); rows are selected by
+    program id.
+    """
     q = q_ref[0]  # (S, D)
     k = k_ref[0]
     v = v_ref[0]
-    valid = valid_ref[0]  # (S,) float32, 1.0 = valid key
+    valid = valid_ref[pl.program_id(0)]  # (S,) float32, 1.0 = valid key
 
     s = q.shape[0]
     logits = jax.lax.dot_general(
@@ -94,7 +99,7 @@ def _pallas_forward(q, k, v, key_valid, interpret):
             pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full mask array
         ],
         out_specs=pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
