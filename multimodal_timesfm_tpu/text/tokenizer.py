@@ -50,6 +50,7 @@ class WordPieceTokenizer:
         vocab_path: Path | str,
         do_lower_case: bool = True,
         max_input_chars_per_word: int = 100,
+        use_native: bool = True,
     ) -> None:
         self.vocab: dict[str, int] = {}
         with open(vocab_path, encoding="utf-8") as f:
@@ -62,6 +63,16 @@ class WordPieceTokenizer:
         self.cls_id = self.vocab[_SPECIAL["cls"]]
         self.sep_id = self.vocab[_SPECIAL["sep"]]
         self.is_hash_fallback = False
+
+        # Native C++ fast path (csrc/wordpiece.cpp); python fallback otherwise.
+        self._native = None
+        if use_native and do_lower_case:
+            try:
+                from multimodal_timesfm_tpu.text.native import NativeWordPiece
+
+                self._native = NativeWordPiece(vocab_path)
+            except (RuntimeError, OSError):
+                self._native = None
 
     # -- basic tokenization --
 
@@ -136,6 +147,8 @@ class WordPieceTokenizer:
 
     def encode(self, text: str, max_length: int = 256) -> list[int]:
         """Token ids with [CLS]/[SEP], truncated to max_length."""
+        if self._native is not None:
+            return self._native.encode(text, max_length)
         ids = [self.cls_id]
         for token in self._basic_tokenize(text):
             ids.extend(self._wordpiece(token))

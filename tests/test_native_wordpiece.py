@@ -1,0 +1,86 @@
+"""Native C++ WordPiece: parity with the python tokenizer and HF BertTokenizer."""
+
+import numpy as np
+import pytest
+
+from multimodal_timesfm_tpu.text.native import load_library, NativeWordPiece
+from multimodal_timesfm_tpu.text.tokenizer import WordPieceTokenizer
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] the quick brown fox jump ##s over lazy dog "
+    "report prediction search energy price ##d cafe , . ! un ##known".split()
+)
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "Report: energy priced, searched!",
+    "unknown unknowable",
+    "",
+    "  spaces   and, punctuation! ",
+    "CAFE Café café",  # accent folding: café -> cafe
+    "Āłstraße",  # latin-ext chars
+    "a" * 150,  # > max_chars_per_word -> UNK
+]
+
+
+@pytest.fixture()
+def vocab_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return p
+
+
+@pytest.fixture(scope="module")
+def native_available():
+    if load_library() is None:
+        pytest.skip("native toolchain unavailable")
+
+
+def test_native_matches_python(vocab_file, native_available):
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    native = NativeWordPiece(vocab_file)
+    for text in TEXTS:
+        assert native.encode(text) == py.encode(text), repr(text)
+
+
+def test_native_matches_transformers(vocab_file, native_available):
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(str(vocab_file), do_lower_case=True)
+    native = NativeWordPiece(vocab_file)
+    for text in TEXTS[:6]:
+        assert native.encode(text) == hf.encode(text, add_special_tokens=True), repr(text)
+
+
+def test_tokenizer_uses_native_by_default(vocab_file, native_available):
+    tok = WordPieceTokenizer(vocab_file)
+    assert tok._native is not None
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    for text in TEXTS:
+        assert tok.encode(text) == py.encode(text)
+
+
+def test_truncation_matches(vocab_file, native_available):
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    native = NativeWordPiece(vocab_file)
+    long_text = "the quick brown fox " * 50
+    a, b = native.encode(long_text, 16), py.encode(long_text, 16)
+    assert len(a) <= 16 and a[-1] == py.sep_id
+    assert a == b
+
+
+def test_native_speedup(vocab_file, native_available):
+    import time
+
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    native = NativeWordPiece(vocab_file)
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    t0 = time.perf_counter()
+    for _ in range(200):
+        py.encode(text)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(200):
+        native.encode(text)
+    t_native = time.perf_counter() - t0
+    assert t_native < t_py  # typically 20-100x
