@@ -162,9 +162,22 @@ def init_chronos_encoder(rng: jax.Array, cfg: Chronos2Config) -> Params:
 
 
 def chronos_encoder(
-    params: Params, cfg: Chronos2Config, x: jax.Array, attention_mask: jax.Array
+    params: Params,
+    cfg: Chronos2Config,
+    x: jax.Array,
+    attention_mask: jax.Array,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
-    """Bidirectional T5-style encoder. ``attention_mask``: (B, S), 1.0 = valid."""
+    """Bidirectional T5-style encoder.
+
+    Args:
+        attention_mask: (B, S), 1.0 = valid.
+        segment_ids: optional (B, S) int — group attention for packed
+            sequences: tokens attend only within their segment (the
+            mechanism behind Chronos-2's ``group_ids`` multivariate packing;
+            the reference adapter path packs one series per row, i.e. one
+            segment).
+    """
     _, seq, _ = x.shape
 
     pos = jnp.arange(seq)
@@ -174,7 +187,11 @@ def chronos_encoder(
     bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, S, S)
 
     neg = jnp.finfo(jnp.float32).min
-    key_mask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+    allowed = attention_mask[:, None, None, :] > 0  # (B, 1, 1, S)
+    if segment_ids is not None:
+        same = segment_ids[:, :, None] == segment_ids[:, None, :]  # (B, S, S)
+        allowed = allowed & same[:, None, :, :]
+    key_mask = jnp.where(allowed, 0.0, neg)
 
     def body(h, layer):
         normed = L.rms_norm(layer["attn_norm"], h)

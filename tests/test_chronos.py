@@ -113,3 +113,23 @@ def test_jit_full_pipeline(adapter, params):
     out = fn(dec_params, jnp.ones((2, 16)), jnp.zeros((2, 16), bool))
     assert out.shape == (2, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_segment_packing_isolates_groups(adapter, params):
+    """Packed segments must not attend across segment boundaries."""
+    import jax.numpy as jnp
+    from multimodal_timesfm_tpu.models.chronos import chronos_encoder
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 32)), jnp.float32)
+    mask = jnp.ones((1, 8))
+    seg = jnp.asarray([[0, 0, 0, 0, 1, 1, 1, 1]])
+    out_a = chronos_encoder(params["encoder"], adapter.config, x, mask, seg)
+    # perturb segment 1; segment 0 outputs must be unchanged
+    x2 = x.at[:, 4:].add(5.0)
+    out_b = chronos_encoder(params["encoder"], adapter.config, x2, mask, seg)
+    np.testing.assert_allclose(np.asarray(out_a[:, :4]), np.asarray(out_b[:, :4]), atol=1e-5)
+    # without segments, segment-0 outputs DO change
+    out_c = chronos_encoder(params["encoder"], adapter.config, x, mask)
+    out_d = chronos_encoder(params["encoder"], adapter.config, x2, mask)
+    assert not np.allclose(np.asarray(out_c[:, :4]), np.asarray(out_d[:, :4]), atol=1e-5)
