@@ -5,29 +5,33 @@ Parity surface: reference ``TextEncoderBase`` / ``EnglishTextEncoder`` /
 ``english.py:10``, ``japanese.py:10``) — same declared dims (384 / 768), the
 same dim validation, and the same call contract (texts -> embeddings).
 
-Weights: pass ``model_dir`` pointing at a locally downloaded HF snapshot
-(``model.safetensors``/``pytorch_model.bin`` + ``vocab.txt``); see
-``text/convert.py``. Without one, the encoder runs with deterministic random
-weights and a hashing tokenizer — the full pipeline works end-to-end but
-embeddings are not parity with the pretrained models (flagged via
-``is_pretrained``).
+  * English: from-scratch JAX BERT at the exact ``all-MiniLM-L6-v2`` geometry
+    with a WordPiece tokenizer (native C++ fast path).
+  * Japanese: from-scratch JAX ModernBERT at the ``ruri-v3-310m`` geometry
+    (RoPE, local/global attention, GeGLU).
 
-Note on the Japanese encoder: the reference wraps ``cl-nagoya/ruri-v3-310m``
-(ModernBERT architecture). This class currently serves 768-d embeddings from
-the same BERT stack; ModernBERT blocks (RoPE + local/global attention) are a
-planned follow-up for weight-level parity.
+Weights: pass ``model_dir`` pointing at a locally downloaded HF snapshot;
+without one the encoder runs with deterministic random weights and a hashing
+tokenizer — the full pipeline works end-to-end but embeddings are not parity
+with the pretrained models (flagged via ``is_pretrained``).
 """
 
 from __future__ import annotations
 
-from abc import ABC
+from abc import ABC, abstractmethod
 from pathlib import Path
 
 import jax
 import numpy as np
 
 from multimodal_timesfm_tpu.text.bert import BertConfig, bert_encode_jit, init_bert
-from multimodal_timesfm_tpu.text.tokenizer import HashTokenizer, WordPieceTokenizer
+from multimodal_timesfm_tpu.text.modernbert import (
+    ModernBertConfig,
+    convert_hf_modernbert_state,
+    init_modernbert,
+    modernbert_encode,
+)
+from multimodal_timesfm_tpu.text.tokenizer import HashTokenizer
 from multimodal_timesfm_tpu.utils.logging import get_logger
 
 _logger = get_logger()
@@ -39,21 +43,17 @@ class TextEncoderBase(ABC):
     def __init__(
         self,
         embedding_dim: int,
-        config: BertConfig,
         model_dir: Path | str | None = None,
         max_length: int = 256,
         batch_size: int = 32,
     ) -> None:
         self.embedding_dim = embedding_dim
-        self.config = config
         self.max_length = max_length
         self.batch_size = batch_size
         self.is_pretrained = False
 
         if model_dir is not None:
-            from multimodal_timesfm_tpu.text.convert import load_hf_bert
-
-            self.params, self.tokenizer = load_hf_bert(Path(model_dir), config)
+            self.params, self.tokenizer = self._load_pretrained(Path(model_dir))
             self.is_pretrained = True
         else:
             _logger.warning(
@@ -61,13 +61,32 @@ class TextEncoderBase(ABC):
                 "(pipeline-functional, NOT embedding-parity)",
                 type(self).__name__,
             )
-            self.params = init_bert(jax.random.key(0), config)
-            self.tokenizer = HashTokenizer(config.vocab_size)
+            self.params = self._init_params(jax.random.key(0))
+            self.tokenizer = HashTokenizer(self._vocab_size())
 
         self._validate()
 
+    # -- model-specific hooks --
+
+    @abstractmethod
+    def _init_params(self, rng: jax.Array): ...
+
+    @abstractmethod
+    def _load_pretrained(self, model_dir: Path): ...
+
+    @abstractmethod
+    def _encode_arrays(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array: ...
+
+    @abstractmethod
+    def _vocab_size(self) -> int: ...
+
+    @abstractmethod
+    def _hidden_size(self) -> int: ...
+
+    # -- shared interface --
+
     def _validate(self) -> None:
-        actual = self.config.hidden_size
+        actual = self._hidden_size()
         if actual != self.embedding_dim:
             raise ValueError(
                 f"Embedding dimension mismatch: expected {self.embedding_dim}, got {actual}."
@@ -81,7 +100,7 @@ class TextEncoderBase(ABC):
         for i in range(0, len(batch), self.batch_size):
             chunk = batch[i : i + self.batch_size]
             ids, mask = self.tokenizer.encode_batch(chunk, self.max_length)
-            emb = bert_encode_jit(self.params, self.config, ids, mask)
+            emb = self._encode_arrays(ids, mask)
             out[i : i + len(chunk)] = np.asarray(emb, np.float32)
         return out[0] if single else out
 
@@ -90,18 +109,62 @@ class EnglishTextEncoder(TextEncoderBase):
     """English encoder: all-MiniLM-L6-v2 geometry, 384-d (reference ``english.py:10-33``)."""
 
     def __init__(self, model_dir: Path | str | None = None, embedding_dim: int = 384) -> None:
-        super().__init__(embedding_dim, BertConfig.minilm_l6(), model_dir)
+        self.config = BertConfig.minilm_l6()
+        super().__init__(embedding_dim, model_dir)
+
+    def _init_params(self, rng):
+        return init_bert(rng, self.config)
+
+    def _load_pretrained(self, model_dir: Path):
+        from multimodal_timesfm_tpu.text.convert import load_hf_bert
+
+        return load_hf_bert(model_dir, self.config)
+
+    def _encode_arrays(self, ids, mask):
+        return bert_encode_jit(self.params, self.config, ids, mask)
+
+    def _vocab_size(self):
+        return self.config.vocab_size
+
+    def _hidden_size(self):
+        return self.config.hidden_size
 
 
 class JapaneseTextEncoder(TextEncoderBase):
-    """Japanese encoder: 768-d (reference ``japanese.py:10-36``; see module note)."""
+    """Japanese encoder: ruri-v3-310m ModernBERT geometry, 768-d (reference ``japanese.py:10-36``).
+
+    Note: pretrained loading converts ModernBERT weights
+    (``text/modernbert.py``); the ruri tokenizer is a unigram/BPE model —
+    until a local snapshot provides it, batch encoding uses the hash
+    fallback tokenizer.
+    """
 
     def __init__(self, model_dir: Path | str | None = None, embedding_dim: int = 768) -> None:
-        config = BertConfig(
-            vocab_size=102400, hidden_size=768, num_layers=12, num_heads=12,
-            intermediate_size=3072,
-        )
-        super().__init__(embedding_dim, config, model_dir)
+        self.config = ModernBertConfig.ruri_v3_310m()
+        super().__init__(embedding_dim, model_dir)
+
+    def _init_params(self, rng):
+        return init_modernbert(rng, self.config)
+
+    def _load_pretrained(self, model_dir: Path):
+        from multimodal_timesfm_tpu.text.convert import _load_state_dict
+
+        params = convert_hf_modernbert_state(_load_state_dict(model_dir), self.config)
+        # ruri's tokenizer is not WordPiece; a local tokenizer integration is
+        # pending — fall back to hashing (flagged by is_pretrained semantics).
+        _logger.warning("Japanese tokenizer snapshot integration pending; using hash tokenizer")
+        return params, HashTokenizer(self.config.vocab_size)
+
+    def _encode_arrays(self, ids, mask):
+        import jax.numpy as jnp
+
+        return modernbert_encode(self.params, self.config, jnp.asarray(ids), jnp.asarray(mask))
+
+    def _vocab_size(self):
+        return self.config.vocab_size
+
+    def _hidden_size(self):
+        return self.config.hidden_size
 
 
 def build_text_encoder(text_encoder_type: str, model_dir: Path | str | None = None) -> TextEncoderBase:
