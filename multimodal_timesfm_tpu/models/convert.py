@@ -109,6 +109,12 @@ TIMESFM_NAME_RULES: list[tuple[str, str, str]] = [
     (r"output_projection_point/output/bias", "output_projection_point.output_layer.bias", ""),
     (r"output_projection_point/residual/kernel", "output_projection_point.residual_layer.weight", "t"),
     (r"output_projection_point/residual/bias", "output_projection_point.residual_layer.bias", ""),
+    (r"output_projection_quantiles/hidden/kernel", "output_projection_quantiles.hidden_layer.0.weight", "t"),
+    (r"output_projection_quantiles/hidden/bias", "output_projection_quantiles.hidden_layer.0.bias", ""),
+    (r"output_projection_quantiles/output/kernel", "output_projection_quantiles.output_layer.weight", "t"),
+    (r"output_projection_quantiles/output/bias", "output_projection_quantiles.output_layer.bias", ""),
+    (r"output_projection_quantiles/residual/kernel", "output_projection_quantiles.residual_layer.weight", "t"),
+    (r"output_projection_quantiles/residual/bias", "output_projection_quantiles.residual_layer.bias", ""),
 ]
 
 CHRONOS_NAME_RULES: list[tuple[str, str, str]] = [

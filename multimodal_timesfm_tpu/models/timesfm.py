@@ -56,6 +56,12 @@ class TimesFMConfig:
     num_heads: int = 16
     num_output_channels: int = 10  # point + 9 quantiles
     decode_index: int = 5  # median channel: the point forecast
+    # Continuous quantile head (upstream ``output_projection_quantiles``):
+    # full-horizon quantile forecasts from the last hidden state. Unused by
+    # the reference adapter pipeline; config-gated for checkpoint-format
+    # completeness and quantile forecasting.
+    use_quantile_head: bool = False
+    quantile_horizon: int = 1024
     compute_dtype: Any = jnp.float32
 
     @property
@@ -77,8 +83,8 @@ class TimesFMConfig:
 
 def init_timesfm(rng: jax.Array, cfg: TimesFMConfig) -> Params:
     """Random-init the full backbone pytree."""
-    k_tok, k_stack, k_out = jax.random.split(rng, 3)
-    return {
+    k_tok, k_stack, k_out, k_q = jax.random.split(rng, 4)
+    params = {
         "tokenizer": L.init_residual_block(
             k_tok, 2 * cfg.input_patch_len, cfg.model_dims, cfg.model_dims
         ),
@@ -92,6 +98,14 @@ def init_timesfm(rng: jax.Array, cfg: TimesFMConfig) -> Params:
             cfg.output_patch_len * cfg.num_output_channels,
         ),
     }
+    if cfg.use_quantile_head:
+        params["output_projection_quantiles"] = L.init_residual_block(
+            k_q,
+            cfg.model_dims,
+            cfg.model_dims,
+            cfg.quantile_horizon * cfg.num_output_channels,
+        )
+    return params
 
 
 class TimesFM2p5Adapter(TsfmAdapter):
@@ -189,4 +203,36 @@ class TimesFM2p5Adapter(TsfmAdapter):
             normalization_stats["context_sigma"],
             reverse=True,
         ).reshape(batch, -1, cfg.output_patch_len, cfg.num_output_channels)
+        return renormed[:, -1, :horizon, :]
+
+    def postprocess_quantiles(
+        self,
+        params: Params,
+        horizon: int,
+        output_embeddings: jax.Array,
+        normalization_stats: dict[str, jax.Array],
+    ) -> jax.Array:
+        """Full-horizon quantile forecasts via the continuous quantile head.
+
+        Extension over the reference adapter surface (which only exposes the
+        point projection): uses the upstream ``output_projection_quantiles``
+        head, supporting horizons up to ``quantile_horizon``. Requires
+        ``use_quantile_head=True``.
+        """
+        cfg = self.config
+        if not cfg.use_quantile_head:
+            raise ValueError("configure use_quantile_head=True to use the quantile head")
+        if horizon > cfg.quantile_horizon:
+            raise ValueError(
+                f"horizon must be <= quantile_horizon ({cfg.quantile_horizon}), got {horizon}."
+            )
+        batch = output_embeddings.shape[0]
+        output_ts = L.residual_block(params["output_projection_quantiles"], output_embeddings)
+        output_ts = output_ts.astype(jnp.float32)
+        renormed = revin(
+            output_ts,
+            normalization_stats["context_mu"],
+            normalization_stats["context_sigma"],
+            reverse=True,
+        ).reshape(batch, -1, cfg.quantile_horizon, cfg.num_output_channels)
         return renormed[:, -1, :horizon, :]

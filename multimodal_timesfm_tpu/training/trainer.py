@@ -317,25 +317,31 @@ class MultimodalTrainer:
         self.state, losses = self._train_epoch_fn(
             self.state, self.frozen, self._train_device, perm, weights
         )
-        losses = np.asarray(losses).reshape(-1)[:num_batches]
+        loss_matrix = np.asarray(losses)  # (num_steps, accum)
+        losses = loss_matrix.reshape(-1)[:num_batches]
         elapsed = time.perf_counter() - t0
         self.last_throughput = len(self.train_data) / max(elapsed, 1e-9)
 
-        num_steps = perm.shape[0]
+        num_steps, accum = loss_matrix.shape
+        step_start = self.global_step
         self.global_step += num_steps
 
-        if (
-            self.args.logging_strategy == "steps"
-            and self._wandb_run is not None
-            and self.global_step % max(self.args.logging_steps, 1) == 0
-        ):
-            self._wandb_run.log(
-                {
-                    "train/loss": float(losses[-1]),
-                    "train/lr": float(self.schedule(self.global_step - 1)),
-                },
-                step=self.global_step,
-            )
+        # Per-step W&B logging, reconstructed post-hoc from the scanned losses
+        # (parity: reference trainer.py:221-232 logs the loss of the micro-batch
+        # at each accumulation boundary, plus the lr used for that step).
+        if self.args.logging_strategy == "steps" and self._wandb_run is not None:
+            every = max(self.args.logging_steps, 1)
+            for s in range(num_steps):
+                gs = step_start + s + 1
+                if gs % every == 0:
+                    last_real = min(accum, num_batches - s * accum) - 1
+                    self._wandb_run.log(
+                        {
+                            "train/loss": float(loss_matrix[s, max(last_real, 0)]),
+                            "train/lr": float(self.schedule(gs - 1)),
+                        },
+                        step=gs,
+                    )
 
         return float(np.mean(losses))
 

@@ -98,3 +98,30 @@ def test_jit_compiles_full_pipeline(adapter, params):
     preds = fn(params, jnp.ones((2, 16)), jnp.zeros((2, 16), bool))
     assert preds.shape == (2, 8, 10)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_quantile_head():
+    from multimodal_timesfm_tpu.models.timesfm import TimesFMConfig, TimesFM2p5Adapter
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TimesFMConfig.tiny(), use_quantile_head=True, quantile_horizon=16
+    )
+    adapter = TimesFM2p5Adapter(cfg)
+    params = adapter.init(jax.random.key(0))
+    assert "output_projection_quantiles" in params
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16)), jnp.float32)
+    masks = jnp.zeros((2, 16), bool)
+    pre = adapter.preprocess(params, x, masks)
+    out = adapter.forward(params, pre.input_embeddings, pre.masks)
+    q = adapter.postprocess_quantiles(params, 12, out, pre.normalization_stats)
+    assert q.shape == (2, 12, 10)
+    with pytest.raises(ValueError, match="quantile_horizon"):
+        adapter.postprocess_quantiles(params, 17, out, pre.normalization_stats)
+
+    # without the head configured, the method refuses
+    base = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    bparams = base.init(jax.random.key(0))
+    with pytest.raises(ValueError, match="use_quantile_head"):
+        base.postprocess_quantiles(bparams, 8, out, pre.normalization_stats)
