@@ -1,0 +1,118 @@
+"""Batch inference API: jit-cached forecasting over preprocessed datasets.
+
+The reference exposes inference only implicitly (the decoder's forward inside
+train/eval loops). This module adds a first-class serving surface: a
+``Forecaster`` that jit-compiles the point/full forecast per (horizon, batch
+bucket), pads ragged final batches to static shapes, and can denormalize
+predictions back to the original scale using the per-sample z-score stats the
+Time-MMD loader records in metadata (``mean``/``std`` —
+``/root/reference/examples/time_mmd/data/time_mmd_dataset.py:342-349``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
+from multimodal_timesfm_tpu.models.base import Params
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
+
+
+class Forecaster:
+    """Frozen decoder + params, specialized for batched forecasting."""
+
+    def __init__(self, model: MultimodalDecoder, params: Params, batch_size: int = 64) -> None:
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self._point_fn = {}
+        self._full_fn = {}
+
+    def _get_fn(self, horizon: int, full: bool, with_text: bool):
+        cache = self._full_fn if full else self._point_fn
+        key = (horizon, with_text)
+        if key not in cache:
+            method = self.model.forward_full if full else self.model
+
+            if with_text:
+                fn = jax.jit(lambda p, x, m, t: method(p, horizon, x, m, t))
+            else:
+                fn = jax.jit(lambda p, x, m: method(p, horizon, x, m, None))
+            cache[key] = fn
+        return cache[key]
+
+    def forecast(
+        self,
+        horizon: int,
+        context: np.ndarray,
+        masks: np.ndarray | None = None,
+        text_embeddings: np.ndarray | None = None,
+        full: bool = False,
+    ) -> np.ndarray:
+        """Forecast (N, horizon) point values (or (N, horizon, Q) with ``full``).
+
+        Inputs are host arrays; batches are padded to the configured batch
+        size so at most two programs are compiled per horizon.
+        """
+        n = context.shape[0]
+        if masks is None:
+            masks = np.zeros_like(context, dtype=bool)
+        fn = self._get_fn(horizon, full, text_embeddings is not None)
+
+        outs = []
+        b = self.batch_size
+        for i in range(0, n, b):
+            ctx = context[i : i + b]
+            msk = masks[i : i + b]
+            txt = text_embeddings[i : i + b] if text_embeddings is not None else None
+            real = ctx.shape[0]
+            if real < b:  # pad the final batch to the static shape
+                pad = b - real
+                ctx = np.concatenate([ctx, np.repeat(ctx[-1:], pad, 0)])
+                msk = np.concatenate([msk, np.repeat(msk[-1:], pad, 0)])
+                if txt is not None:
+                    txt = np.concatenate([txt, np.repeat(txt[-1:], pad, 0)])
+            args = (self.params, jnp.asarray(ctx), jnp.asarray(msk))
+            if txt is not None:
+                args = args + (jnp.asarray(txt),)
+            outs.append(np.asarray(fn(*args))[:real])
+        return np.concatenate(outs, axis=0)
+
+    def forecast_dataset(
+        self,
+        horizon: int,
+        dataset,
+        multimodal: bool | None = None,
+        denormalize: bool = False,
+        full: bool = False,
+    ) -> np.ndarray:
+        """Forecast every sample of a (preprocessed) dataset.
+
+        With ``denormalize``, predictions are mapped back to the original
+        scale via each sample's recorded z-score ``mean``/``std`` metadata.
+        """
+        if not isinstance(dataset, StackedDataset):
+            if multimodal is None:
+                multimodal = len(dataset) > 0 and "text_embeddings" in dataset[0]
+            data = stack_samples(dataset, multimodal)
+        else:
+            data = dataset
+            if multimodal is None:
+                multimodal = data.text_embeddings is not None
+
+        preds = self.forecast(
+            horizon,
+            data.context,
+            text_embeddings=data.text_embeddings if multimodal else None,
+            full=full,
+        )
+        if denormalize:
+            mean = np.array([m.get("mean", 0.0) for m in data.metadata], np.float32)
+            std = np.array([m.get("std", 1.0) for m in data.metadata], np.float32)
+            shape = (-1,) + (1,) * (preds.ndim - 1)
+            preds = preds * std.reshape(shape) + mean.reshape(shape)
+        return preds

@@ -1,0 +1,59 @@
+"""Forecaster API: batching, padding, denormalization, point vs full."""
+
+import jax
+import numpy as np
+
+from multimodal_timesfm_tpu.inference import Forecaster
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
+from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+from multimodal_timesfm_tpu.types import PreprocessedSample
+
+
+def _build():
+    decoder = MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
+    )
+    return decoder, decoder.init(jax.random.key(0))
+
+
+def test_forecast_batching_matches_single_shot():
+    decoder, params = _build()
+    rng = np.random.default_rng(0)
+    ctx = rng.normal(size=(11, 16)).astype(np.float32)  # ragged vs batch 4
+
+    f = Forecaster(decoder, params, batch_size=4)
+    preds = f.forecast(8, ctx)
+    assert preds.shape == (11, 8)
+
+    import jax.numpy as jnp
+
+    direct = np.asarray(decoder(params, 8, jnp.asarray(ctx), jnp.zeros((11, 16), bool), None))
+    np.testing.assert_allclose(preds, direct, atol=1e-5)
+
+
+def test_forecast_full_channels():
+    decoder, params = _build()
+    ctx = np.random.default_rng(1).normal(size=(3, 16)).astype(np.float32)
+    preds = Forecaster(decoder, params, batch_size=4).forecast(8, ctx, full=True)
+    assert preds.shape == (3, 8, 10)
+
+
+def test_forecast_dataset_denormalize():
+    decoder, params = _build()
+    rng = np.random.default_rng(2)
+    samples = [
+        PreprocessedSample(
+            context=rng.normal(size=16).astype(np.float32),
+            horizon=rng.normal(size=8).astype(np.float32),
+            text_embeddings=rng.normal(size=(4, 6)).astype(np.float32),
+            metadata={"mean": 10.0, "std": 2.0},
+        )
+        for _ in range(5)
+    ]
+    f = Forecaster(decoder, params, batch_size=4)
+    raw = f.forecast_dataset(8, samples, denormalize=False)
+    denorm = f.forecast_dataset(8, samples, denormalize=True)
+    np.testing.assert_allclose(denorm, raw * 2.0 + 10.0, atol=1e-5)
+    # multimodal auto-detection used text: differs from baseline-only pass
+    base = f.forecast_dataset(8, samples, multimodal=False)
+    assert not np.allclose(raw, base)
