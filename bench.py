@@ -113,7 +113,9 @@ def build_trainer(
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=256)
-    parser.add_argument("--num-samples", type=int, default=2048)
+    # ~the augmented Time-MMD train-fold scale; large enough that per-epoch
+    # dispatch overheads amortize to steady-state throughput.
+    parser.add_argument("--num-samples", type=int, default=8192)
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     parser.add_argument("--tiny", action="store_true", help="Tiny model (debug)")

@@ -53,6 +53,12 @@ class PreprocessPipeline:
 
     def load(self, path: Path) -> list[PreprocessedSample]:
         _logger.info("Loading preprocessed data from %s", path)
+        if not path.exists():
+            raise FileNotFoundError(
+                f"Cache file not found: {path}. Build it with "
+                "scripts/cache_time_mmd_datasets.py (add --augment for caches "
+                "with the '_aug' suffix), or adjust the requested augment flags."
+            )
         with open(path, "rb") as f:
             data: list[PreprocessedSample] = pickle.load(f)
         _logger.info("Loaded %s samples", len(data))

@@ -20,6 +20,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from multimodal_timesfm_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from examples.time_mmd.configs.forecast import ForecastConfig  # noqa: E402
 from examples.time_mmd.configs.model import ModelConfig  # noqa: E402
 from examples.time_mmd.data.time_mmd_dataset import TimeMmdDataset  # noqa: E402

@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from multimodal_timesfm_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from examples.time_mmd.configs.model import ModelConfig  # noqa: E402
 from examples.time_mmd.sweep_lib import build_adapter, init_decoder_params  # noqa: E402
 from multimodal_timesfm_tpu.data.preprocess import PreprocessPipeline  # noqa: E402

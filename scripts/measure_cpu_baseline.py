@@ -21,6 +21,10 @@ import torch
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from multimodal_timesfm_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from tests.torch_reference import TorchFusion, TorchTimesFM  # noqa: E402
 
 
