@@ -119,6 +119,7 @@ def main() -> int:
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     parser.add_argument("--tiny", action="store_true", help="Tiny model (debug)")
+    parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here.")
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -130,10 +131,13 @@ def main() -> int:
     trainer.train_epoch()
     trainer.validate_epoch()
 
+    from multimodal_timesfm_tpu.utils.profiling import trace
+
     t0 = time.perf_counter()
-    for _ in range(args.epochs):
-        trainer.train_epoch()
-    trainer.validate_epoch()
+    with trace(args.profile_dir or ".", enabled=bool(args.profile_dir)):
+        for _ in range(args.epochs):
+            trainer.train_epoch()
+        trainer.validate_epoch()
     elapsed = time.perf_counter() - t0
 
     total_series = args.num_samples * args.epochs + len(trainer.val_data)

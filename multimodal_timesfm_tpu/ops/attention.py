@@ -10,10 +10,10 @@ Design:
   * whole-sequence kernel (S fits VMEM for S <= 2048 at TSFM head dims),
     grid over (batch * heads); no online softmax needed,
   * causal + key-padding masks computed in-kernel with broadcasted iota,
-  * backward pass: custom_vjp whose bwd re-computes attention with the plain
-    XLA implementation and takes its VJP — forward gets kernel fusion,
-    backward gets XLA's fused autodiff (a hand-written Pallas backward is a
-    planned optimization),
+  * backward pass: a second whole-sequence Pallas kernel that recomputes the
+    attention weights from the saved (q, k, v) residuals and produces
+    (dq, dk, dv) in one fused pass (softmax VJP in-kernel) — no (S, S)
+    tensors ever round-trip HBM in either direction,
   * ``interpret=True`` path for CPU tests.
 
 Used by ``models/layers.causal_attention`` when the sequence/tiling
@@ -83,6 +83,79 @@ def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_ref):
+    """Fused backward for one (batch*head) slice.
+
+    Recomputes W = softmax(masked QK^T), then
+        dV = W^T g,   dW = g V^T,
+        dL = W * (dW - rowsum(dW * W))   (softmax VJP),
+        dQ = dL K,    dK = dL^T Q.
+    Masked entries have W = 0, so dL vanishes there automatically.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    valid = valid_ref[pl.program_id(0)]
+
+    s = q.shape[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = (col <= row) & (valid[None, :] > 0)
+    logits = jnp.where(mask, logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)  # (S, S) fp32
+
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jax.lax.dot_general(w, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dw = jax.lax.dot_general(g32, v32, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        dl, k.astype(jnp.float32), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_backward(q, k, v, key_valid, g, interpret):
+    batch, seq, heads, dim = q.shape
+
+    def flat(x):
+        return x.transpose(0, 2, 1, 3).reshape(batch * heads, seq, dim)
+
+    valid = jnp.repeat(key_valid.astype(jnp.float32), heads, axis=0)
+    spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        _attn_bwd_kernel,
+        out_shape=[jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)] * 3,
+        grid=(batch * heads,),
+        in_specs=[
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full mask array
+            spec,
+        ],
+        out_specs=[spec, spec, spec],
+        interpret=interpret,
+    )(flat(q), flat(k), flat(v), valid, flat(g))
+
+    def unflat(x):
+        return x.reshape(batch, heads, seq, dim).transpose(0, 2, 1, 3)
+
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
 def _pallas_forward(q, k, v, key_valid, interpret):
     batch, seq, heads, dim = q.shape
 
@@ -119,8 +192,7 @@ def _fwd(q, k, v, key_valid, interpret):
 
 def _bwd(interpret, residuals, g):
     q, k, v, key_valid = residuals
-    _, vjp = jax.vjp(lambda q, k, v: xla_causal_attention(q, k, v, key_valid), q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _pallas_backward(q, k, v, key_valid, g, interpret)
     return dq, dk, dv, None
 
 
