@@ -1,4 +1,4 @@
-"""Fused causal attention: Pallas TPU kernel with an XLA fallback.
+"""Fused causal attention: Pallas TPU kernels with an XLA fallback.
 
 The TimesFM patch-token sequences are short (context//patch_len tokens:
 1 for the default 32/32 workload, up to 512 for 16k contexts), so the win is
@@ -7,14 +7,17 @@ not FlashAttention asymptotics but *fusion*: one kernel computes
 the (S, S) logits/weights tensors that the unfused XLA path materializes.
 
 Design:
-  * whole-sequence kernel (S fits VMEM for S <= 2048 at TSFM head dims),
-    grid over (batch * heads); no online softmax needed,
+  * whole-sequence kernels, grid over (batch * heads); no online softmax,
   * causal + key-padding masks computed in-kernel with broadcasted iota,
-  * backward pass: a second whole-sequence Pallas kernel that recomputes the
+  * backward pass: a second whole-sequence Pallas kernel recomputes the
     attention weights from the saved (q, k, v) residuals and produces
-    (dq, dk, dv) in one fused pass (softmax VJP in-kernel) — no (S, S)
-    tensors ever round-trip HBM in either direction,
+    (dq, dk, dv) in one fused pass (softmax VJP in-kernel),
   * ``interpret=True`` path for CPU tests.
+
+VMEM budget: the backward holds three (S, S) fp32 buffers (w, dw, dl), which
+caps the whole-sequence approach at S=1024 on v5e (verified: backward at
+1024 compiles, 2048 OOMs). ``supports_pallas`` enforces that cap; longer
+sequences take the XLA path until a tiled backward lands.
 
 Used by ``models/layers.causal_attention`` when the sequence/tiling
 constraints hold; falls back to XLA otherwise.
@@ -53,33 +56,43 @@ def xla_causal_attention(q, k, v, key_valid):
     )
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
+# ---------------------------------------------------------------------------
+# kernels (shared masked-softmax recompute)
+# ---------------------------------------------------------------------------
+
+
+def _masked_softmax(q, k, valid):
+    """In-kernel fp32 softmax(QK^T) with causal + key-padding masking.
+
+    q, k: (S, D); valid: (S,) float, 1.0 = valid key. Returns (S, S) fp32.
+    Fully-masked rows cannot occur for causal self-attention queries at valid
+    positions; padded-query rows produce garbage that downstream masking of
+    the corresponding outputs makes inert.
+    """
+    s = q.shape[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = (col <= row) & (valid[None, :] > 0)
+    logits = jnp.where(mask, logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
     """One (batch*head) slice: fused softmax(QK^T + causal + padding) V.
 
     ``valid_ref`` is the full (B*H, S) mask in VMEM (unblocked — TPU block
     shapes need sublane-divisible leading dims); rows are selected by
     program id.
     """
-    q = q_ref[0]  # (S, D)
-    k = k_ref[0]
-    v = v_ref[0]
-    valid = valid_ref[pl.program_id(0)]  # (S,) float32, 1.0 = valid key
-
-    s = q.shape[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, S)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = (col <= row) & (valid[None, :] > 0)
-    logits = jnp.where(mask, logits, _NEG_INF)
-
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[pl.program_id(0)])
     o_ref[0] = jax.lax.dot_general(
-        w.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
@@ -94,24 +107,10 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_r
     """
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0]
-    valid = valid_ref[pl.program_id(0)]
+    w = _masked_softmax(q, k, valid_ref[pl.program_id(0)])
 
-    s = q.shape[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = (col <= row) & (valid[None, :] > 0)
-    logits = jnp.where(mask, logits, _NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    w = e / jnp.sum(e, axis=-1, keepdims=True)  # (S, S) fp32
-
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
+    g32 = g_ref[0].astype(jnp.float32)
+    v32 = v_ref[0].astype(jnp.float32)
     dv = jax.lax.dot_general(w, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dw = jax.lax.dot_general(g32, v32, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
@@ -126,73 +125,73 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_r
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _pallas_backward(q, k, v, key_valid, g, interpret):
+# ---------------------------------------------------------------------------
+# launch plumbing (shared between fwd and bwd)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_heads(x):
+    """(B, S, H, D) -> (B*H, S, D)."""
+    batch, seq, heads, dim = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(batch * heads, seq, dim)
+
+
+def _unflatten_heads(x, batch, heads):
+    bh, seq, dim = x.shape
+    return x.reshape(batch, heads, seq, dim).transpose(0, 2, 1, 3)
+
+
+def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False):
     batch, seq, heads, dim = q.shape
-
-    def flat(x):
-        return x.transpose(0, 2, 1, 3).reshape(batch * heads, seq, dim)
-
-    valid = jnp.repeat(key_valid.astype(jnp.float32), heads, axis=0)
-    spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    dq, dk, dv = pl.pallas_call(
-        _attn_bwd_kernel,
-        out_shape=[jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)] * 3,
-        grid=(batch * heads,),
-        in_specs=[
-            spec,
-            spec,
-            spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full mask array
-            spec,
-        ],
-        out_specs=[spec, spec, spec],
-        interpret=interpret,
-    )(flat(q), flat(k), flat(v), valid, flat(g))
-
-    def unflat(x):
-        return x.reshape(batch, heads, seq, dim).transpose(0, 2, 1, 3)
-
-    return unflat(dq), unflat(dk), unflat(dv)
-
-
-def _pallas_forward(q, k, v, key_valid, interpret):
-    batch, seq, heads, dim = q.shape
-
-    def flat(x):  # (B, S, H, D) -> (B*H, S, D)
-        return x.transpose(0, 2, 1, 3).reshape(batch * heads, seq, dim)
-
     valid = jnp.repeat(key_valid.astype(jnp.float32), heads, axis=0)  # (B*H, S)
+    spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array, program-id indexed
 
-    out = pl.pallas_call(
-        _attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype),
+    out_shape = [jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)] * num_outputs
+    out_specs = [spec] * num_outputs
+    if num_outputs == 1:
+        out_shape, out_specs = out_shape[0], out_specs[0]
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
         grid=(batch * heads,),
-        in_specs=[
-            pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full mask array
-        ],
-        out_specs=pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[spec, spec, spec, mask_spec] + [spec] * len(extra),
+        out_specs=out_specs,
         interpret=interpret,
-    )(flat(q), flat(k), flat(v), valid)
-    return out.reshape(batch, heads, seq, dim).transpose(0, 2, 1, 3)
+    )(_flatten_heads(q), _flatten_heads(k), _flatten_heads(v), valid,
+      *[_flatten_heads(e) for e in extra])
+
+    if num_outputs == 1:
+        return _unflatten_heads(outs, batch, heads)
+    return tuple(_unflatten_heads(o, batch, heads) for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# differentiable entry point
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_causal_attention(q, k, v, key_valid, interpret=False):
-    """Pallas-fused causal attention; differentiable (XLA backward)."""
-    return _pallas_forward(q, k, v, key_valid, interpret)
+    """Pallas-fused causal attention; differentiable (Pallas backward kernel)."""
+    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret)
 
 
 def _fwd(q, k, v, key_valid, interpret):
-    return _pallas_forward(q, k, v, key_valid, interpret), (q, k, v, key_valid)
+    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret), (
+        q,
+        k,
+        v,
+        key_valid,
+    )
 
 
 def _bwd(interpret, residuals, g):
     q, k, v, key_valid = residuals
-    dq, dk, dv = _pallas_backward(q, k, v, key_valid, g, interpret)
+    dq, dk, dv = _launch(
+        _attn_bwd_kernel, 3, q, k, v, key_valid, extra=(g,), interpret=interpret
+    )
     return dq, dk, dv, None
 
 
@@ -200,8 +199,11 @@ fused_causal_attention.defvjp(_fwd, _bwd)
 
 
 def supports_pallas(seq: int, dim: int) -> bool:
-    """Tiling/size constraints for the whole-sequence kernel."""
+    """Tiling/size constraints for the whole-sequence kernels.
+
+    The cap is set by the BACKWARD kernel's VMEM footprint (three (S, S)
+    fp32 buffers): S=1024 compiles on v5e, S=2048 does not.
+    """
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    # Min sublane tile is 8 (f32); keep the whole (S, S) logits in VMEM.
-    return seq >= 8 and seq % 8 == 0 and seq <= 2048 and dim <= 256
+    return seq >= 8 and seq % 8 == 0 and seq <= 1024 and dim <= 256

@@ -9,6 +9,7 @@ and XLA inserts the collectives (psum for grad all-reduce) implied by the
 shardings.
 """
 
+from multimodal_timesfm_tpu.parallel.distributed import initialize_multihost  # noqa: F401
 from multimodal_timesfm_tpu.parallel.mesh import (  # noqa: F401
     MeshConfig,
     batch_sharding,
@@ -17,3 +18,4 @@ from multimodal_timesfm_tpu.parallel.mesh import (  # noqa: F401
     resolve_platform,
     shard_batch,
 )
+from multimodal_timesfm_tpu.parallel.sharding import param_specs, shard_params  # noqa: F401

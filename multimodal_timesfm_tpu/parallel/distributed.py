@@ -25,11 +25,14 @@ def initialize_multihost(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Initialize the JAX distributed runtime (no-op on single-host TPU VMs
-    where the TPU runtime auto-detects topology).
+    """Initialize the JAX distributed runtime for a multi-host slice.
 
-    Args defaults come from the standard env vars
-    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``).
+    Must be called before any other JAX use (backend initialization), once
+    per host process. On Cloud TPU slices the arguments auto-detect from the
+    TPU metadata; elsewhere they come from the standard env vars
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``)
+    or explicit arguments. Do NOT call on a single-host setup — it raises
+    when no coordinator can be determined or the backend already started.
     """
     import jax
 

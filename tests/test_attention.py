@@ -67,4 +67,4 @@ def test_supports_pallas_gates():
     # CPU backend in tests -> always False; the shape logic is still exercised.
     assert not supports_pallas(1, 80)
     assert not supports_pallas(17, 80)
-    assert not supports_pallas(4096, 80)
+    assert not supports_pallas(2048, 80)  # backward VMEM cap
