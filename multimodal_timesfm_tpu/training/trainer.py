@@ -90,10 +90,15 @@ class MultimodalTrainer:
         mesh=None,
         wandb_run=None,
         shard_params_fn=None,
+        max_device_dataset_bytes: int = 4 << 30,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
-        tensor parallelism over the mesh's ``model`` axis."""
+        tensor parallelism over the mesh's ``model`` axis.
+
+        Datasets larger than ``max_device_dataset_bytes`` are not staged to
+        device; epochs then materialize batches on the host (one transfer per
+        epoch) instead of device-side gathers."""
         self.model = model
         self.args = args
         self.mode = mode
@@ -155,9 +160,22 @@ class MultimodalTrainer:
 
         self._rng = np.random.default_rng(args.seed if args.seed is not None else 0)
 
-        # Stage both datasets to device once (replicated; they are small).
-        self._train_device = self._to_device(self.train_data)
-        self._val_device = self._to_device(self.val_data)
+        # Stage both datasets to device once when they fit; otherwise fall
+        # back to host-materialized epoch batches.
+        def nbytes(d: StackedDataset) -> int:
+            total = d.context.nbytes + d.horizon.nbytes
+            if d.text_embeddings is not None:
+                total += d.text_embeddings.nbytes
+            return total
+
+        self._device_resident = (
+            nbytes(self.train_data) + nbytes(self.val_data) <= max_device_dataset_bytes
+        )
+        if self._device_resident:
+            self._train_device = self._to_device(self.train_data)
+            self._val_device = self._to_device(self.val_data)
+        else:
+            _logger.info("Dataset exceeds device budget; using host-materialized epochs")
 
         # Training state (parity: reference trainer.py:116-118)
         self.current_epoch = 0
@@ -204,62 +222,89 @@ class MultimodalTrainer:
         accum = self.args.gradient_accumulation_steps
         grad_fn = jax.value_and_grad(self._loss_fn)
 
-        def optimizer_step(state: TrainState, frozen, data, idx_group, w_group):
-            """One optimizer step: scan over ``accum`` micro-batch gathers, then update."""
+        def micro_loss_and_grads(state, frozen, mb):
+            return grad_fn(
+                state.trainable,
+                frozen,
+                mb["context"],
+                mb["horizon"],
+                mb.get("text"),
+                mb["weights"],
+            )
+
+        def optimizer_step(state: TrainState, frozen, micro_xs, get_mb):
+            """One optimizer step: scan over ``accum`` micro-batches, then update."""
 
             def micro(grads_acc, xs):
-                idx, w = xs
-                mb = self._gather(data, idx, w)
-                loss, grads = grad_fn(
-                    state.trainable,
-                    frozen,
-                    mb["context"],
-                    mb["horizon"],
-                    mb.get("text"),
-                    mb["weights"],
-                )
+                loss, grads = micro_loss_and_grads(state, frozen, get_mb(xs))
                 grads_acc = jax.tree.map(lambda a, g: a + g / accum, grads_acc, grads)
                 return grads_acc, loss
 
             zeros = jax.tree.map(jnp.zeros_like, state.trainable)
-            grads, losses = jax.lax.scan(micro, zeros, (idx_group, w_group))
+            grads, losses = jax.lax.scan(micro, zeros, micro_xs)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
             return TrainState(trainable, opt_state), losses
+
+        def eval_metrics(params, mb):
+            masks = jnp.zeros_like(mb["context"], dtype=bool)
+            point = self.model(params, self.horizon_len, mb["context"], masks, mb.get("text"))
+            err = point.astype(jnp.float32) - mb["horizon"]
+            denom = jnp.maximum(jnp.sum(mb["weights"]) * self.horizon_len, 1.0)
+            mse = jnp.sum(err * err * mb["weights"][:, None]) / denom
+            mae = jnp.sum(jnp.abs(err) * mb["weights"][:, None]) / denom
+            return mse, mae, jnp.sum(mb["weights"])
+
+        # --- device-resident variants: micro-batches are in-scan gathers ---
 
         def train_epoch_fn(state: TrainState, frozen, data, perm, weights):
             """perm/weights: (num_steps, accum, B) index/weight tensors."""
 
             def step(carry, xs):
                 idx_group, w_group = xs
-                return optimizer_step(carry, frozen, data, idx_group, w_group)
+                return optimizer_step(
+                    carry, frozen, (idx_group, w_group), lambda x: self._gather(data, *x)
+                )
 
             state, losses = jax.lax.scan(step, state, (perm, weights))
             return state, losses  # losses: (num_steps, accum)
 
         def eval_fn(trainable, frozen, data, perm, weights):
-            """Per-micro-batch weighted (mse, mae, valid_count); perm: (num_batches, B)."""
             params = dict(frozen)
             params[self.trainable_key] = trainable
 
             def one(_, xs):
                 idx, w = xs
-                mb = self._gather(data, idx, w)
-                masks = jnp.zeros_like(mb["context"], dtype=bool)
-                point = self.model(
-                    params, self.horizon_len, mb["context"], masks, mb.get("text")
-                )
-                err = point.astype(jnp.float32) - mb["horizon"]
-                denom = jnp.maximum(jnp.sum(mb["weights"]) * self.horizon_len, 1.0)
-                mse = jnp.sum(err * err * mb["weights"][:, None]) / denom
-                mae = jnp.sum(jnp.abs(err) * mb["weights"][:, None]) / denom
-                return None, (mse, mae, jnp.sum(mb["weights"]))
+                return None, eval_metrics(params, self._gather(data, idx, w))
 
             _, out = jax.lax.scan(one, None, (perm, weights))
             return out
 
+        # --- host-materialized variants: micro-batches arrive as arrays ---
+
+        def train_epoch_mat_fn(state: TrainState, frozen, batches):
+            """batches: dict of (num_steps, accum, B, ...) arrays incl. weights."""
+
+            def step(carry, group):
+                return optimizer_step(carry, frozen, group, self._batch_constraint)
+
+            state, losses = jax.lax.scan(step, state, batches)
+            return state, losses
+
+        def eval_mat_fn(trainable, frozen, batches):
+            params = dict(frozen)
+            params[self.trainable_key] = trainable
+
+            def one(_, mb):
+                return None, eval_metrics(params, self._batch_constraint(mb))
+
+            _, out = jax.lax.scan(one, None, batches)
+            return out
+
         self._train_epoch_fn = jax.jit(train_epoch_fn, donate_argnums=(0,))
         self._eval_fn = jax.jit(eval_fn)
+        self._train_epoch_mat_fn = jax.jit(train_epoch_mat_fn, donate_argnums=(0, 2))
+        self._eval_mat_fn = jax.jit(eval_mat_fn, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
     # host-side epoch index staging (tiny transfers; data already on device)
@@ -301,6 +346,27 @@ class MultimodalTrainer:
             return jax.device_put(perm, rep), jax.device_put(weights, rep), num_batches
         return jnp.asarray(perm), jnp.asarray(weights), num_batches
 
+    def _materialize(self, data: StackedDataset, perm, weights):
+        """Host-gather epoch batches into the (steps, accum, B, ...) scan layout."""
+        take = np.asarray(perm).reshape(-1)
+        lead = perm.shape  # (num_steps, accum, B)
+
+        tree = {
+            "context": data.context[take].reshape(lead + data.context.shape[1:]),
+            "horizon": data.horizon[take].reshape(lead + data.horizon.shape[1:]),
+            "weights": np.asarray(weights),
+        }
+        if data.text_embeddings is not None:
+            tree["text"] = data.text_embeddings[take].reshape(
+                lead + data.text_embeddings.shape[1:]
+            )
+        if self.mesh is not None:
+            spec = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, None, "data")
+            )
+            return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+        return jax.tree.map(jnp.asarray, tree)
+
     # ------------------------------------------------------------------
     # public API (parity with reference trainer.py:185-399)
     # ------------------------------------------------------------------
@@ -314,9 +380,13 @@ class MultimodalTrainer:
             accum=self.args.gradient_accumulation_steps,
         )
         t0 = time.perf_counter()
-        self.state, losses = self._train_epoch_fn(
-            self.state, self.frozen, self._train_device, perm, weights
-        )
+        if self._device_resident:
+            self.state, losses = self._train_epoch_fn(
+                self.state, self.frozen, self._train_device, perm, weights
+            )
+        else:
+            batches = self._materialize(self.train_data, perm, weights)
+            self.state, losses = self._train_epoch_mat_fn(self.state, self.frozen, batches)
         loss_matrix = np.asarray(losses)  # (num_steps, accum)
         losses = loss_matrix.reshape(-1)[:num_batches]
         elapsed = time.perf_counter() - t0
@@ -350,9 +420,14 @@ class MultimodalTrainer:
         perm, weights, num_batches = self._epoch_indices(
             len(self.val_data), self.args.per_device_eval_batch_size, shuffle=False, accum=1
         )
-        mse, _, _ = self._eval_fn(
-            self.state.trainable, self.frozen, self._val_device, perm[:, 0], weights[:, 0]
-        )
+        if self._device_resident:
+            mse, _, _ = self._eval_fn(
+                self.state.trainable, self.frozen, self._val_device, perm[:, 0], weights[:, 0]
+            )
+        else:
+            batches = self._materialize(self.val_data, perm[:, :1], weights[:, :1])
+            batches = jax.tree.map(lambda x: x[:, 0], batches)
+            mse, _, _ = self._eval_mat_fn(self.state.trainable, self.frozen, batches)
         return float(np.mean(np.asarray(mse)[:num_batches]))
 
     @property

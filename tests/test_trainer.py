@@ -227,3 +227,31 @@ def test_empty_dataset_raises(tmp_path, mesh):
             mode="baseline",
             mesh=mesh,
         )
+
+
+def test_host_materialized_path_matches_device_resident(tmp_path, mesh):
+    """Forcing the big-dataset fallback must produce identical training results."""
+    samples = _make_samples(20, 11, with_text=True)
+    val = _make_samples(8, 12, with_text=True)
+
+    def run(max_bytes):
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(3))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(tmp_path, num_train_epochs=2, save_strategy="no", seed=5),
+            train_dataset=PreprocessedDataset(samples, "multimodal"),
+            val_dataset=PreprocessedDataset(val, "multimodal"),
+            mode="multimodal",
+            mesh=mesh,
+            max_device_dataset_bytes=max_bytes,
+        )
+        losses = [trainer.train_epoch() for _ in range(2)]
+        return losses, trainer.validate_epoch(), jax.device_get(trainer.state.trainable)
+
+    losses_a, val_a, p_a = run(4 << 30)  # device-resident
+    losses_b, val_b, p_b = run(0)  # forced host-materialized
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+    np.testing.assert_allclose(val_a, val_b, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), p_a, p_b)
