@@ -148,12 +148,12 @@ class JapaneseTextEncoder(TextEncoderBase):
 
     def _load_pretrained(self, model_dir: Path):
         from multimodal_timesfm_tpu.text.convert import _load_state_dict
+        from multimodal_timesfm_tpu.text.tokenizer import HFTokenizerWrapper
 
         params = convert_hf_modernbert_state(_load_state_dict(model_dir), self.config)
-        # ruri's tokenizer is not WordPiece; a local tokenizer integration is
-        # pending — fall back to hashing (flagged by is_pretrained semantics).
-        _logger.warning("Japanese tokenizer snapshot integration pending; using hash tokenizer")
-        return params, HashTokenizer(self.config.vocab_size)
+        # ruri's tokenizer is a unigram model; load it from the snapshot via
+        # transformers (offline).
+        return params, HFTokenizerWrapper(model_dir)
 
     def _encode_arrays(self, ids, mask):
         import jax.numpy as jnp

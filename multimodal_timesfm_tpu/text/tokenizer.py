@@ -180,6 +180,39 @@ class WordPieceTokenizer:
         return ids, mask
 
 
+class HFTokenizerWrapper:
+    """Adapter for a ``transformers`` tokenizer loaded from a LOCAL snapshot.
+
+    Used for tokenizers this package does not implement natively (e.g.
+    ruri-v3's unigram model). Loading is strictly offline
+    (``local_files_only=True``); exposes the same ``encode``/``encode_batch``
+    interface as :class:`WordPieceTokenizer`.
+    """
+
+    def __init__(self, model_dir) -> None:
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(str(model_dir), local_files_only=True)
+        self.pad_id = self._tok.pad_token_id or 0
+        self.is_hash_fallback = False
+
+    def encode(self, text: str, max_length: int = 256) -> list[int]:
+        return self._tok.encode(text, add_special_tokens=True, truncation=True, max_length=max_length)
+
+    def encode_batch(self, texts: list[str], max_length: int = 256):
+        encoded = [self.encode(t, max_length) for t in texts]
+        longest = max(len(e) for e in encoded)
+        buckets = [16, 32, 64, 128, 256, 512]
+        seq = min(next((b for b in buckets if b >= longest), max_length), max_length)
+        ids = np.full((len(encoded), seq), self.pad_id, np.int32)
+        mask = np.zeros((len(encoded), seq), np.int32)
+        for i, e in enumerate(encoded):
+            e = e[:seq]
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = 1
+        return ids, mask
+
+
 class HashTokenizer:
     """Deterministic offline fallback: buckets whitespace/punct tokens by hash.
 

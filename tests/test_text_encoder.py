@@ -117,3 +117,23 @@ def test_factory():
     assert build_text_encoder("english").embedding_dim == 384
     with pytest.raises(ValueError, match="Unknown"):
         build_text_encoder("german")
+
+
+def test_hf_tokenizer_wrapper_local_snapshot(tmp_path, vocab_file):
+    """HFTokenizerWrapper loads a local snapshot (no network) and matches ids."""
+    import shutil
+    from transformers import BertTokenizer
+
+    from multimodal_timesfm_tpu.text.tokenizer import HFTokenizerWrapper
+
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    shutil.copy(vocab_file, snap / "vocab.txt")
+    (snap / "tokenizer_config.json").write_text('{"tokenizer_class": "BertTokenizer"}')
+
+    wrapper = HFTokenizerWrapper(snap)
+    hf = BertTokenizer(str(vocab_file), do_lower_case=True)
+    text = "the quick brown fox"
+    assert wrapper.encode(text) == hf.encode(text, add_special_tokens=True)
+    ids, mask = wrapper.encode_batch([text, "the"])
+    assert ids.shape == mask.shape and ids.shape[1] == 16
