@@ -102,10 +102,22 @@ class LocalSweep:
         return {name: self._sample_one(spec) for name, spec in self.parameters.items()}
 
     def agent(self, function, count: int | None = None) -> None:
-        """Run ``count`` trials (default 1), each inside a LocalRun context."""
+        """Run ``count`` trials (default 1), each inside a LocalRun context.
+
+        Trial failures are isolated — a crashed trial logs its error and the
+        agent continues, mirroring the W&B agent's per-run isolation that the
+        reference relies on for sweep robustness.
+        """
         results_path = self.output_dir / "sweep_results.jsonl"
+        failures = 0
         for trial in range(count or 1):
             config = self.sample()
             run = LocalRun(f"local-{trial}", config, results_path)
-            with run:
-                function(run)
+            try:
+                with run:
+                    function(run)
+            except Exception as e:  # noqa: BLE001 - trial isolation
+                failures += 1
+                run.log({"error": f"{type(e).__name__}: {e}"})
+        if failures == (count or 1):
+            raise RuntimeError(f"All {failures} sweep trial(s) failed; see {results_path}")

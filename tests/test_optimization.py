@@ -118,3 +118,31 @@ def test_local_sweep_sampler(tmp_path):
     assert len(logged) == 2
     results = (tmp_path / "sweep_results.jsonl").read_text().strip().splitlines()
     assert len(results) == 2
+
+
+def test_local_sweep_trial_isolation(tmp_path):
+    """A crashed trial logs its error and the agent continues."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+    import json
+    import pytest as _pytest
+
+    sweep = LocalSweep({"parameters": {"x": {"values": [1]}}}, tmp_path, seed=0)
+    calls = []
+
+    def flaky(run):
+        calls.append(run.id)
+        if len(calls) == 1:
+            raise RuntimeError("boom")
+        run.log({"ok": 1})
+
+    sweep.agent(flaky, count=3)
+    assert len(calls) == 3
+    lines = [json.loads(l) for l in (tmp_path / "sweep_results.jsonl").read_text().splitlines()]
+    assert any("error" in l for l in lines)
+    assert any(l.get("ok") == 1 for l in lines)
+
+    def always_fails(run):
+        raise RuntimeError("nope")
+
+    with _pytest.raises(RuntimeError, match="All 2"):
+        LocalSweep({"parameters": {}}, tmp_path / "f", seed=0).agent(always_fails, count=2)
