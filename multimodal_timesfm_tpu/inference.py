@@ -82,6 +82,55 @@ class Forecaster:
             outs.append(np.asarray(fn(*args))[:real])
         return np.concatenate(outs, axis=0)
 
+    def forecast_autoregressive(
+        self,
+        horizon: int,
+        context: np.ndarray,
+        masks: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Point forecasts beyond one output patch via autoregressive decode.
+
+        Capability extension: the reference's TimesFM adapter hard-caps the
+        horizon at one output patch and rejects AR decode
+        (``/root/reference/src/tsfmx/tsfm/timesfm.py:116-119``). Here the
+        context window slides: each round forecasts one chunk, appends it to
+        the (fixed-length) context, and repeats. Text fusion is not applied
+        to AR continuation windows (no text exists for forecasted spans).
+
+        Args:
+            horizon: total steps; may exceed the backbone's single-shot cap.
+            context: (N, C) with C a multiple of the patch length.
+
+        Returns:
+            (N, horizon) point forecasts.
+        """
+        adapter = self.model.adapter
+        patch = adapter.patch_len
+        # largest single-shot chunk that keeps the context patch-aligned
+        single = getattr(adapter.config, "output_patch_len", None)
+        if single is None:  # chronos: native long horizons
+            return self.forecast(horizon, context, masks)
+        chunk = max((single // patch) * patch, patch)
+
+        if masks is None:
+            masks = np.zeros_like(context, dtype=bool)
+        ctx = np.asarray(context, np.float32)
+        msk = np.asarray(masks, bool)
+
+        outs = []
+        remaining = horizon
+        while remaining > 0:
+            step = min(chunk, max(remaining, 1))
+            # round the request up to a patch multiple for the window slide,
+            # but only emit `step` values
+            emit = min(step, remaining)
+            preds = self.forecast(chunk, ctx, msk)  # (N, chunk)
+            outs.append(preds[:, :emit])
+            ctx = np.concatenate([ctx[:, chunk:], preds], axis=1)
+            msk = np.concatenate([msk[:, chunk:], np.zeros_like(preds, bool)], axis=1)
+            remaining -= emit
+        return np.concatenate(outs, axis=1)
+
     def forecast_dataset(
         self,
         horizon: int,

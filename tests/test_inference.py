@@ -57,3 +57,23 @@ def test_forecast_dataset_denormalize():
     # multimodal auto-detection used text: differs from baseline-only pass
     base = f.forecast_dataset(8, samples, multimodal=False)
     assert not np.allclose(raw, base)
+
+
+def test_autoregressive_long_horizon():
+    """AR decode extends beyond output_patch_len; first chunk equals single-shot."""
+    decoder, params = _build()  # tiny: patch 4, output_patch_len 8
+    rng = np.random.default_rng(5)
+    ctx = rng.normal(size=(3, 16)).astype(np.float32)
+    f = Forecaster(decoder, params, batch_size=4)
+
+    long_preds = f.forecast_autoregressive(20, ctx)  # > output_patch_len 8
+    assert long_preds.shape == (3, 20)
+    assert np.isfinite(long_preds).all()
+
+    # the first chunk must equal the single-shot forecast
+    single = f.forecast(8, ctx)
+    np.testing.assert_allclose(long_preds[:, :8], single, atol=1e-5)
+
+    # the short-horizon case matches plain forecasting too
+    short = f.forecast_autoregressive(5, ctx)
+    np.testing.assert_allclose(short, single[:, :5], atol=1e-5)
