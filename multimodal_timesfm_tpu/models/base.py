@@ -77,3 +77,19 @@ class TsfmAdapter(ABC):
         normalization_stats: dict[str, jax.Array],
     ) -> jax.Array:
         """Project to forecasts: -> (B, horizon, num_output_channels)."""
+
+    # -- checkpoint surface (parity: reference ``load_checkpoint``/
+    # ``from_pretrained``, ``tsfm/timesfm.py:131-158`` — local paths instead
+    # of HF Hub downloads; see models/convert.py) --
+
+    def load_checkpoint(self, path) -> Params:
+        """Load backbone params from a local checkpoint file/dir (strict)."""
+        from multimodal_timesfm_tpu.models.convert import load_backbone_checkpoint
+
+        return load_backbone_checkpoint(path, self)
+
+    @classmethod
+    def from_pretrained(cls, checkpoint_dir, config=None) -> tuple["TsfmAdapter", Params]:
+        """Create the adapter and load pretrained params from a local directory."""
+        adapter = cls(config) if config is not None else cls()
+        return adapter, adapter.load_checkpoint(checkpoint_dir)

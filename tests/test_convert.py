@@ -112,3 +112,23 @@ def test_load_backbone_from_framework_ckpt(tmp_path):
         restored,
         params,
     )
+
+
+def test_adapter_from_pretrained_api(tmp_path):
+    """Adapter-level load_checkpoint/from_pretrained (reference API surface)."""
+    import jax
+    import pickle
+
+    src = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    params = jax.device_get(src.init(jax.random.key(9)))
+    with open(tmp_path / "model.ckpt", "wb") as f:
+        pickle.dump({"adapter_params": params}, f)
+
+    adapter, restored = TimesFM2p5Adapter.from_pretrained(
+        tmp_path, config=TimesFMConfig.tiny()
+    )
+    assert adapter.patch_len == 4
+    np.testing.assert_array_equal(
+        np.asarray(restored["tokenizer"]["hidden"]["kernel"]),
+        np.asarray(params["tokenizer"]["hidden"]["kernel"]),
+    )
