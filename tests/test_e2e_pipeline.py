@@ -65,6 +65,23 @@ def configs(tmp_path_factory):
         "fusion": {"text_encoder_type": "english", "text_embedding_dims": 384},
     }
     (cfg_dir / "model.yml").write_text(yaml.safe_dump(model_cfg))
+    chronos_cfg = {
+        "adapter": {
+            "type": "chronos",
+            "patch_len": 4,
+            "arch": {
+                "model_dim": 32,
+                "num_layers": 2,
+                "num_heads": 2,
+                "ffn_dim": 64,
+                "input_patch_size": 4,
+                "output_patch_size": 4,
+                "max_output_patches": 2,
+            },
+        },
+        "fusion": {"text_encoder_type": "english", "text_embedding_dims": 384},
+    }
+    (cfg_dir / "chronos.yml").write_text(yaml.safe_dump(chronos_cfg))
     (cfg_dir / "forecast.yml").write_text(yaml.safe_dump({"context_len": 16, "horizon_len": 8}))
     sweep_cfg = {
         "method": "bayes",
@@ -132,13 +149,16 @@ def test_cache_outputs(split_and_cache):
     assert any("Agriculture_train" in f and not f.endswith("aug.pkl") for f in files)
 
 
-@pytest.mark.parametrize("mode", ["multimodal", "baseline"])
+@pytest.mark.parametrize(
+    "mode,model_yml",
+    [("multimodal", "model.yml"), ("baseline", "model.yml"), ("multimodal", "chronos.yml")],
+)
 def test_local_sweep_end_to_end(
-    data_root, configs, split_and_cache, tmp_path, monkeypatch, mode
+    data_root, configs, split_and_cache, tmp_path, monkeypatch, mode, model_yml
 ):
     import scripts.tune_time_mmd_sweep as sweep_mod
 
-    out_dir = tmp_path / f"sweep_{mode}"
+    out_dir = tmp_path / f"sweep_{mode}_{model_yml}"
     monkeypatch.setattr(
         sys,
         "argv",
@@ -146,7 +166,7 @@ def test_local_sweep_end_to_end(
             "tune",
             "--sweep-config", str(configs / "sweep.yml"),
             "--count", "1",
-            "--model-config", str(configs / "model.yml"),
+            "--model-config", str(configs / model_yml),
             "--forecast-config", str(configs / "forecast.yml"),
             "--cache-dir", str(split_and_cache),
             "--offline",
