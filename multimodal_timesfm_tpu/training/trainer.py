@@ -392,6 +392,13 @@ class MultimodalTrainer:
         elapsed = time.perf_counter() - t0
         self.last_throughput = len(self.train_data) / max(elapsed, 1e-9)
 
+        if not np.all(np.isfinite(losses)):
+            bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+            raise FloatingPointError(
+                f"Non-finite training loss at epoch {self.current_epoch}, micro-batch {bad} "
+                f"(loss={losses[bad]}). Check learning rate / data scaling."
+            )
+
         num_steps, accum = loss_matrix.shape
         step_start = self.global_step
         self.global_step += num_steps

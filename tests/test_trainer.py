@@ -255,3 +255,49 @@ def test_host_materialized_path_matches_device_resident(tmp_path, mesh):
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
     np.testing.assert_allclose(val_a, val_b, rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), p_a, p_b)
+
+
+def test_training_is_deterministic(tmp_path, mesh):
+    """Same seed -> bit-identical training trajectory across trainer instances."""
+
+    def run():
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(0))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(tmp_path, num_train_epochs=2, save_strategy="no", seed=42),
+            train_dataset=_make_samples(20, 0),
+            val_dataset=_make_samples(8, 1),
+            mode="multimodal",
+            mesh=mesh,
+        )
+        losses = [trainer.train_epoch(), trainer.train_epoch()]
+        return losses, jax.device_get(trainer.state.trainable)
+
+    l_a, p_a = run()
+    l_b, p_b = run()
+    assert l_a == l_b
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p_a, p_b)
+
+
+def test_nonfinite_loss_raises(tmp_path, mesh):
+    """A diverging run fails loudly instead of silently producing NaN params."""
+    samples = _make_samples(16, 0, with_text=False)
+    for s in samples:
+        s["context"] = (s["context"] * 1e30).astype(np.float32)  # force overflow
+        s["horizon"] = (s["horizon"] * 1e30).astype(np.float32)
+    decoder = _make_decoder()
+    params = decoder.init(jax.random.key(0))
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=_args(tmp_path, save_strategy="no", learning_rate=1e10),
+        train_dataset=samples,
+        val_dataset=samples[:8],
+        mode="baseline",
+        mesh=mesh,
+    )
+    with pytest.raises(FloatingPointError, match="Non-finite"):
+        for _ in range(3):
+            trainer.train_epoch()
