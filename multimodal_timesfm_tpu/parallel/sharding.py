@@ -40,7 +40,7 @@ def _spec_for(path: tuple[str, ...], ndim: int) -> P:
         return P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))
 
     # Column-parallel: expand into the sharded hidden/head dimension.
-    if parent in ("ffn_up", "qkv", "hidden") and leaf in ("kernel", "bias"):
+    if parent in ("ffn_up", "qkv", "hidden", "q", "k", "v") and leaf in ("kernel", "bias"):
         return last_dim_sharded()
     # Row-parallel: contract the sharded dimension (bias replicated).
     if parent in ("ffn_down", "out", "output") and leaf == "kernel":

@@ -98,3 +98,43 @@ def test_tensor_parallel_training_matches_single_device(tmp_path, mp):
         lambda a, b: np.testing.assert_allclose(a, b, atol=5e-3), ref_params, tp_params
     )
     np.testing.assert_allclose(ref_val, tp_val, atol=1e-4)
+
+
+def test_chronos_tensor_parallel_matches_single_device(tmp_path):
+    """Chronos backbone TP on a (2,4) mesh matches the unsharded run."""
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+
+    samples = _samples(16, 2)
+
+    def run(mesh, shard_fn):
+        decoder = MultimodalDecoder(
+            Chronos2Adapter(Chronos2Config.tiny()),
+            MultimodalDecoderConfig(text_embedding_dims=6),
+        )
+        params = decoder.init(jax.random.key(4))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=TrainingArguments(
+                output_dir=str(tmp_path / f"c{mesh is None}"),
+                per_device_train_batch_size=8,
+                num_train_epochs=1,
+                learning_rate=1e-2,
+                eval_strategy="epoch",
+                save_strategy="no",
+                logging_strategy="no",
+                seed=9,
+            ),
+            train_dataset=samples,
+            val_dataset=samples[:8],
+            mode="baseline",
+            mesh=mesh,
+            shard_params_fn=shard_fn,
+        )
+        trainer.train_epoch()
+        return trainer.validate_epoch()
+
+    ref_val = run(None, None)
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4))
+    tp_val = run(mesh, shard_params)
+    np.testing.assert_allclose(ref_val, tp_val, atol=1e-4)
