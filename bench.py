@@ -106,6 +106,7 @@ def build_trainer(
         val_dataset=val,
         mode="multimodal",
         mesh=mesh,
+        frozen_cast_dtype=compute_dtype if compute_dtype != jnp.float32 else None,
     )
     return trainer
 

@@ -91,6 +91,7 @@ class MultimodalTrainer:
         wandb_run=None,
         shard_params_fn=None,
         max_device_dataset_bytes: int = 4 << 30,
+        frozen_cast_dtype=None,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
@@ -98,7 +99,12 @@ class MultimodalTrainer:
 
         Datasets larger than ``max_device_dataset_bytes`` are not staged to
         device; epochs then materialize batches on the host (one transfer per
-        epoch) instead of device-side gathers."""
+        epoch) instead of device-side gathers.
+
+        ``frozen_cast_dtype`` (e.g. ``jnp.bfloat16``) stores the FROZEN
+        params subtree in that dtype — the trained subtree keeps fp32 master
+        weights. In multimodal mode this halves the 200M backbone's weight
+        HBM traffic with no optimizer-state impact."""
         self.model = model
         self.args = args
         self.mode = mode
@@ -126,6 +132,13 @@ class MultimodalTrainer:
 
         # --- params partition: trainable subtree vs frozen remainder ---
         self.frozen = {k: v for k, v in params.items() if k != self.trainable_key}
+        if frozen_cast_dtype is not None:
+            self.frozen = jax.tree.map(
+                lambda x: x.astype(frozen_cast_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.frozen,
+            )
         trainable = params[self.trainable_key]
 
         # --- optimizer + schedule (per optimizer step, as in the reference) ---
