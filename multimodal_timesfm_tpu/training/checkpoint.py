@@ -6,16 +6,20 @@ payloads carrying epoch/global_step/optimizer state/best_val_loss plus the
 mode-specific parameter subtree, epoch-numbered files with
 ``save_total_limit`` rotation, and a separate ``best_model`` file.
 
-Format: pickled pytrees with arrays converted to numpy (host) — portable
-across backends and mesh shapes (params are replicated, so gather is free).
-An Orbax backend can slot in behind the same three functions when sharded
-(>host-memory) checkpoints are needed; for this model family params fit on
-one host.
+Backends:
+  * ``pickle`` (default): host-numpy pytree pickles — portable across mesh
+    shapes (params are replicated, so gather is free), and preserves optax
+    namedtuple state structure exactly (lossless resume).
+  * ``orbax``: directory checkpoints via ``orbax.checkpoint`` for
+    sharded / async / cloud-storage needs. Restoring optimizer state with
+    full structure requires passing a ``target`` template (orbax restores
+    plain containers otherwise).
 """
 
 from __future__ import annotations
 
 import pickle
+import shutil
 from pathlib import Path
 
 import jax
@@ -28,19 +32,37 @@ _logger = get_logger()
 CKPT_SUFFIX = ".ckpt"
 
 
-def save_checkpoint(path: Path, payload: dict) -> None:
-    """Pickle a checkpoint payload; device arrays are pulled to host numpy."""
+def save_checkpoint(path: Path, payload: dict, backend: str = "pickle") -> None:
+    """Persist a checkpoint payload; device arrays are pulled to host numpy."""
     host = jax.tree.map(
         lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, payload
     )
     path.parent.mkdir(parents=True, exist_ok=True)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        if path.exists():
+            shutil.rmtree(path) if path.is_dir() else path.unlink()
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path.resolve(), host)
+        checkpointer.wait_until_finished()
+        return
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
     tmp.replace(path)
 
 
-def load_checkpoint(path: Path) -> dict:
+def load_checkpoint(path: Path, target=None) -> dict:
+    """Load a checkpoint (auto-detects backend: orbax dirs vs pickle files)."""
+    path = Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        return checkpointer.restore(path.resolve(), target) if target is not None else (
+            checkpointer.restore(path.resolve())
+        )
     with open(path, "rb") as f:
         return pickle.load(f)
 
