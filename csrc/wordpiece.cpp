@@ -78,17 +78,42 @@ bool is_whitespace(uint32_t cp) {
 
 bool is_control(uint32_t cp) {
   if (cp == '\t' || cp == '\n' || cp == '\r') return false;
-  return cp < 0x20 || cp == 0x7F || (cp >= 0x80 && cp <= 0x9F);
+  if (cp < 0x20 || cp == 0x7F || (cp >= 0x80 && cp <= 0x9F)) return true;  // Cc
+  // Cf format chars (HF drops all C* categories): soft hyphen, bidi marks,
+  // zero-width chars, BOM, interlinear annotation, arabic format chars.
+  return cp == 0xAD || (cp >= 0x600 && cp <= 0x605) || cp == 0x61C ||
+         cp == 0x6DD || cp == 0x70F || cp == 0x8E2 || cp == 0x180E ||
+         (cp >= 0x200B && cp <= 0x200F) || (cp >= 0x202A && cp <= 0x202E) ||
+         (cp >= 0x2060 && cp <= 0x2064) || (cp >= 0x2066 && cp <= 0x206F) ||
+         cp == 0xFEFF || (cp >= 0xFFF9 && cp <= 0xFFFB);
 }
 
 bool is_punct(uint32_t cp) {
   if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
       (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126))
     return true;
-  // common general-punctuation ranges
-  return (cp >= 0x2010 && cp <= 0x2027) || (cp >= 0x2030 && cp <= 0x205E) ||
-         (cp >= 0x3001 && cp <= 0x3003) || cp == 0x300C || cp == 0x300D ||
-         cp == 0xFF01 || cp == 0xFF0C || cp == 0xFF0E || cp == 0xFF1F;
+  // Latin-1 punctuation (P* categories)
+  if (cp == 0xA1 || cp == 0xA7 || cp == 0xAB || cp == 0xB6 || cp == 0xB7 ||
+      cp == 0xBB || cp == 0xBF)
+    return true;
+  // common general-punctuation / CJK ranges (P* categories)
+  if ((cp >= 0x2010 && cp <= 0x2027) || (cp >= 0x2030 && cp <= 0x205E) ||
+      (cp >= 0x2E00 && cp <= 0x2E7F) ||
+      (cp >= 0x3001 && cp <= 0x3003) || (cp >= 0x3008 && cp <= 0x3011) ||
+      (cp >= 0x3014 && cp <= 0x301F) || cp == 0x30FB)
+    return true;
+  // fullwidth forms: only the P-category members (excludes ＄＋＜＝＞＾｀｜～)
+  if (cp >= 0xFF01 && cp <= 0xFF65) {
+    switch (cp) {
+      case 0xFF04: case 0xFF0B: case 0xFF1C: case 0xFF1D: case 0xFF1E:
+      case 0xFF3E: case 0xFF40: case 0xFF5C: case 0xFF5E:
+        return false;
+      default:
+        return (cp <= 0xFF0F) || (cp >= 0xFF1A && cp <= 0xFF20) ||
+               (cp >= 0xFF3B && cp <= 0xFF40) || (cp >= 0xFF5B && cp <= 0xFF65);
+    }
+  }
+  return false;
 }
 
 bool is_cjk(uint32_t cp) {

@@ -87,6 +87,7 @@ class Forecaster:
         horizon: int,
         context: np.ndarray,
         masks: np.ndarray | None = None,
+        text_embeddings: np.ndarray | None = None,
     ) -> np.ndarray:
         """Point forecasts beyond one output patch via autoregressive decode.
 
@@ -94,12 +95,16 @@ class Forecaster:
         horizon at one output patch and rejects AR decode
         (``/root/reference/src/tsfmx/tsfm/timesfm.py:116-119``). Here the
         context window slides: each round forecasts one chunk, appends it to
-        the (fixed-length) context, and repeats. Text fusion is not applied
-        to AR continuation windows (no text exists for forecasted spans).
+        the (fixed-length) context, and repeats.
+
+        Text fusion applies to the FIRST window only (where the per-patch
+        text embeddings describe the real context); continuation windows have
+        no text for the forecasted spans and run without fusion.
 
         Args:
             horizon: total steps; may exceed the backbone's single-shot cap.
             context: (N, C) with C a multiple of the patch length.
+            text_embeddings: optional (N, num_patches, T) for the first window.
 
         Returns:
             (N, horizon) point forecasts.
@@ -109,7 +114,7 @@ class Forecaster:
         # largest single-shot chunk that keeps the context patch-aligned
         single = getattr(adapter.config, "output_patch_len", None)
         if single is None:  # chronos: native long horizons
-            return self.forecast(horizon, context, masks)
+            return self.forecast(horizon, context, masks, text_embeddings)
         chunk = max((single // patch) * patch, patch)
 
         if masks is None:
@@ -119,16 +124,16 @@ class Forecaster:
 
         outs = []
         remaining = horizon
+        first = True
         while remaining > 0:
-            step = min(chunk, max(remaining, 1))
-            # round the request up to a patch multiple for the window slide,
-            # but only emit `step` values
-            emit = min(step, remaining)
-            preds = self.forecast(chunk, ctx, msk)  # (N, chunk)
+            emit = min(chunk, remaining)
+            text = text_embeddings if first else None
+            preds = self.forecast(chunk, ctx, msk, text)  # (N, chunk)
             outs.append(preds[:, :emit])
             ctx = np.concatenate([ctx[:, chunk:], preds], axis=1)
             msk = np.concatenate([msk[:, chunk:], np.zeros_like(preds, bool)], axis=1)
             remaining -= emit
+            first = False
         return np.concatenate(outs, axis=1)
 
     def forecast_dataset(

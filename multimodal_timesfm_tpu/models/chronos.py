@@ -267,13 +267,13 @@ class Chronos2Adapter(TsfmAdapter):
         ``masks``: bool (B, C), True = padded (project convention); flipped to
         the Chronos 1.0=valid convention internally.
         """
+        from multimodal_timesfm_tpu.ops.patching import patchify
+
         cfg = self.config
         if masks.shape != inputs.shape:
             raise ValueError(f"masks shape {masks.shape} must match inputs shape {inputs.shape}")
         batch, context = inputs.shape
         p = cfg.input_patch_size
-        if context % p != 0:
-            raise ValueError(f"context length ({context}) must be divisible by patch length ({p})")
 
         valid = (~masks).astype(inputs.dtype)  # 1.0 = valid
         loc, scale = instance_norm_stats(inputs, valid)
@@ -285,7 +285,7 @@ class Chronos2Adapter(TsfmAdapter):
         time_enc = jnp.broadcast_to(time_enc, (batch, context))
 
         def patch(x):
-            return x.reshape(batch, context // p, p)
+            return patchify(x, p)
 
         features = jnp.concatenate(
             [patch(time_enc), patch(normed), patch(valid)], axis=-1

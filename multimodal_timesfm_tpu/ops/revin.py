@@ -36,6 +36,13 @@ def masked_running_stats(
 ) -> tuple[jax.Array, jax.Array]:
     """Per-patch-prefix masked mean/std, vectorized.
 
+    The naive cumulative formula ``E[x^2] - E[x]^2`` catastrophically cancels
+    in fp32 once ``|mean| >> std`` (a raw-scale series with offset ~1e4
+    collapses sigma to 0). Each series is therefore shifted by its first
+    valid value before accumulating — variance is shift-invariant and the
+    shifted values are O(data range), so the cumulants stay well-conditioned
+    for any absolute offset.
+
     Args:
         patched_inputs: (B, N, P) float values.
         patched_masks: (B, N, P) bool, True = padded.
@@ -44,17 +51,27 @@ def masked_running_stats(
         (mu, sigma): each (B, N). ``sigma`` is the population std (ddof=0) of
         the valid points in patches 0..i; 0 where no valid points seen yet.
     """
-    valid = (~patched_masks).astype(patched_inputs.dtype)
-    x = patched_inputs * valid
+    batch, num_patches, patch = patched_inputs.shape
+    flat_x = patched_inputs.reshape(batch, -1)
+    flat_valid = (~patched_masks).reshape(batch, -1)
+
+    # Shift by the first valid value of each series (0 if none are valid).
+    first_idx = jnp.argmax(flat_valid, axis=-1)
+    any_valid = jnp.any(flat_valid, axis=-1)
+    shift = jnp.where(any_valid, jnp.take_along_axis(flat_x, first_idx[:, None], 1)[:, 0], 0.0)
+
+    valid = flat_valid.reshape(batch, num_patches, patch).astype(patched_inputs.dtype)
+    x = (patched_inputs - shift[:, None, None]) * valid
 
     n = jnp.cumsum(jnp.sum(valid, axis=-1), axis=-1)  # (B, N)
     s1 = jnp.cumsum(jnp.sum(x, axis=-1), axis=-1)
     s2 = jnp.cumsum(jnp.sum(x * x, axis=-1), axis=-1)
 
     safe_n = jnp.maximum(n, 1.0)
-    mu = s1 / safe_n
-    var = jnp.maximum(s2 / safe_n - mu * mu, 0.0)
+    mu_shifted = s1 / safe_n
+    var = jnp.maximum(s2 / safe_n - mu_shifted * mu_shifted, 0.0)
     sigma = jnp.sqrt(var)
+    mu = mu_shifted + shift[:, None]
     seen = n > 0
     return jnp.where(seen, mu, 0.0), jnp.where(seen, sigma, 0.0)
 

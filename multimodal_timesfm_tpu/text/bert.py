@@ -121,9 +121,13 @@ def bert_encode(
         q = _dense(layer["q"], x).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = _dense(layer["k"], x).reshape(b, s, cfg.num_heads, cfg.head_dim)
         v = _dense(layer["v"], x).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(cfg.head_dim)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(cfg.head_dim)
         weights = jax.nn.softmax(logits + attn_bias, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, cfg.hidden_size)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+        ).reshape(b, s, cfg.hidden_size)
         x = _ln(layer["attn_ln"], x + _dense(layer["attn_out"], ctx), cfg.layer_norm_eps)
         h = jax.nn.gelu(_dense(layer["ffn_up"], x), approximate=False)
         x = _ln(layer["ffn_ln"], x + _dense(layer["ffn_down"], h), cfg.layer_norm_eps)

@@ -138,11 +138,15 @@ def modernbert_encode(
         q = _rope(q, theta)
         k = _rope(k, theta)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(cfg.head_dim)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(cfg.head_dim)
         allowed = key_valid if is_global else key_valid & local_ok[None, None]
         logits = jnp.where(allowed, logits, neg)
         weights = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, s, cfg.hidden_size)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+        ).reshape(b, s, cfg.hidden_size)
         x = x + jnp.dot(ctx, layer["wo"]["kernel"], preferred_element_type=jnp.float32)
 
         h = _ln(layer["mlp_norm"], x, cfg.layer_norm_eps)

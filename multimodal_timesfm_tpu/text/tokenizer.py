@@ -80,12 +80,15 @@ class WordPieceTokenizer:
         out = []
         for ch in text:
             cp = ord(ch)
-            if cp == 0 or cp == 0xFFFD or unicodedata.category(ch) == "Cc" and ch not in "\t\n\r":
+            if cp == 0 or cp == 0xFFFD:
                 continue
             if ch in "\t\n\r" or unicodedata.category(ch) == "Zs":
                 out.append(" ")
-            else:
-                out.append(ch)
+                continue
+            # HF drops ALL C* categories (Cc, Cf format chars like ZWSP/LRM, ...)
+            if unicodedata.category(ch).startswith("C"):
+                continue
+            out.append(ch)
         return "".join(out)
 
     def _split_cjk(self, text: str) -> str:
@@ -199,18 +202,7 @@ class HFTokenizerWrapper:
     def encode(self, text: str, max_length: int = 256) -> list[int]:
         return self._tok.encode(text, add_special_tokens=True, truncation=True, max_length=max_length)
 
-    def encode_batch(self, texts: list[str], max_length: int = 256):
-        encoded = [self.encode(t, max_length) for t in texts]
-        longest = max(len(e) for e in encoded)
-        buckets = [16, 32, 64, 128, 256, 512]
-        seq = min(next((b for b in buckets if b >= longest), max_length), max_length)
-        ids = np.full((len(encoded), seq), self.pad_id, np.int32)
-        mask = np.zeros((len(encoded), seq), np.int32)
-        for i, e in enumerate(encoded):
-            e = e[:seq]
-            ids[i, : len(e)] = e
-            mask[i, : len(e)] = 1
-        return ids, mask
+    encode_batch = WordPieceTokenizer.encode_batch  # shared bucketing/padding
 
 
 class HashTokenizer:

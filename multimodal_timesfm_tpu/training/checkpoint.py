@@ -68,11 +68,17 @@ def load_checkpoint(path: Path, target=None) -> dict:
 
 
 def rotate_checkpoints(checkpoint_dir: Path, save_total_limit: int) -> None:
-    """Delete oldest epoch checkpoints beyond the limit (reference ``trainer.py:312-323``)."""
+    """Delete oldest epoch checkpoints beyond the limit (reference ``trainer.py:312-323``).
+
+    Handles both pickle files and orbax directory checkpoints.
+    """
     checkpoints = sorted(
         checkpoint_dir.glob(f"checkpoint_epoch_*{CKPT_SUFFIX}"),
         key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
     )
     for checkpoint in checkpoints[:-save_total_limit] if len(checkpoints) > save_total_limit else []:
-        checkpoint.unlink()
+        if checkpoint.is_dir():
+            shutil.rmtree(checkpoint)
+        else:
+            checkpoint.unlink()
         _logger.info("Deleted old checkpoint: %s", checkpoint.name)

@@ -92,6 +92,7 @@ class MultimodalTrainer:
         shard_params_fn=None,
         max_device_dataset_bytes: int = 4 << 30,
         frozen_cast_dtype=None,
+        ckpt_backend: str = "pickle",
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
@@ -110,6 +111,7 @@ class MultimodalTrainer:
         self.mode = mode
         self.mesh = mesh
         self._wandb_run = wandb_run
+        self.ckpt_backend = ckpt_backend
 
         multimodal = mode == "multimodal"
         self.train_data = (
@@ -513,13 +515,15 @@ class MultimodalTrainer:
 
         if self.args.save_strategy == "epoch":
             path = self.args.checkpoint_dir / f"checkpoint_epoch_{self.current_epoch}.ckpt"
-            save_checkpoint(path, checkpoint)
+            save_checkpoint(path, checkpoint, backend=self.ckpt_backend)
             _logger.info("Saved checkpoint at epoch %d", self.current_epoch)
             if self.args.save_total_limit is not None:
                 rotate_checkpoints(self.args.checkpoint_dir, self.args.save_total_limit)
 
         if is_best:
-            save_checkpoint(self.args.checkpoint_dir / "best_model.ckpt", checkpoint)
+            save_checkpoint(
+                self.args.checkpoint_dir / "best_model.ckpt", checkpoint, backend=self.ckpt_backend
+            )
             _logger.info("Saved best model checkpoint at epoch %d", self.current_epoch)
 
     def train(self) -> None:

@@ -77,3 +77,17 @@ def test_autoregressive_long_horizon():
     # the short-horizon case matches plain forecasting too
     short = f.forecast_autoregressive(5, ctx)
     np.testing.assert_allclose(short, single[:, :5], atol=1e-5)
+
+
+def test_autoregressive_first_window_uses_text():
+    """Multimodal first window differs from baseline; continuation unaffected."""
+    decoder, params = _build()
+    rng = np.random.default_rng(6)
+    ctx = rng.normal(size=(2, 16)).astype(np.float32)
+    text = rng.normal(size=(2, 4, 6)).astype(np.float32)
+    f = Forecaster(decoder, params, batch_size=4)
+
+    with_text = f.forecast_autoregressive(8, ctx, text_embeddings=text)
+    without = f.forecast_autoregressive(8, ctx)
+    assert not np.allclose(with_text, without)
+    np.testing.assert_allclose(with_text, f.forecast(8, ctx, text_embeddings=text), atol=1e-5)

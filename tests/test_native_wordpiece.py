@@ -84,3 +84,24 @@ def test_native_speedup(vocab_file, native_available):
         native.encode(text)
     t_native = time.perf_counter() - t0
     assert t_native < t_py  # typically 20-100x
+
+
+def test_unicode_punct_and_format_chars_match_hf(vocab_file, native_available):
+    """Latin-1 punctuation and Cf format chars: native == python == HF."""
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(str(vocab_file), do_lower_case=True)
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    native = NativeWordPiece(vocab_file)
+    cases = [
+        "«the»",        # guillemets (Latin-1 Pi/Pf)
+        "¿the?",             # inverted question mark
+        "the·dog",           # middle dot
+        "the‎fox",           # LRM (Cf) inside a word
+        "​the﻿dog",     # ZWSP + BOM
+        "the­dog",           # soft hyphen (Cf)
+    ]
+    for text in cases:
+        ref = hf.encode(text, add_special_tokens=True)
+        assert py.encode(text) == ref, f"py {text!r}"
+        assert native.encode(text) == ref, f"native {text!r}"

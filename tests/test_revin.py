@@ -87,3 +87,38 @@ def test_revin_broadcasts_over_channel_dims():
     out = revin(x, mu, sigma, reverse=True)
     assert out.shape == (1, 2, 8, 10)
     np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+@pytest.mark.parametrize("offset", [1e4, 1e6, -5e5])
+def test_running_stats_large_offsets_no_cancellation(offset):
+    """Raw-scale series (|mean| >> std) must not collapse sigma to 0 (fp32).
+
+    Compares against float64 ground truth: at these offsets the shifted
+    closed form is MORE accurate than the fp32 Welford scan (which carries
+    ULP(offset)-scale noise through its incremental means).
+    """
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(2, 4, 8)) + offset).astype(np.float32)
+    mask = np.zeros((2, 4, 8), bool)
+    mu, sigma = masked_running_stats(jnp.asarray(x), jnp.asarray(mask))
+    assert float(jnp.min(sigma)) > 0.5  # ~N(0,1) noise survives the offset
+
+    xf = x.astype(np.float64)
+    for b in range(2):
+        seen = []
+        for i in range(4):
+            seen.extend(xf[b, i])
+            np.testing.assert_allclose(float(sigma[b, i]), np.std(seen), rtol=1e-3)
+            np.testing.assert_allclose(float(mu[b, i]), np.mean(seen), rtol=1e-6)
+
+
+def test_running_stats_offset_with_leading_padding():
+    """The shift picks the first VALID value even when the series is left-padded."""
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(1, 3, 4)) + 1e5).astype(np.float32)
+    mask = np.zeros((1, 3, 4), bool)
+    mask[0, 0, :] = True  # entire first patch padded
+    x[0, 0, :] = 0.0  # padded region holds garbage zeros
+    mu, sigma = masked_running_stats(jnp.asarray(x), jnp.asarray(mask))
+    assert float(sigma[0, 1]) < 10.0  # not inflated by the garbage zeros
+    assert abs(float(mu[0, 1]) - 1e5) < 10.0
