@@ -180,7 +180,10 @@ def load_jax_params(model: TorchTimesFM, params: dict) -> None:
     """Copy a JAX TimesFM params pytree into the torch mirror."""
 
     def t(x):
-        return torch.from_numpy(np.asarray(x)).float()
+        # copy=True: on the CPU backend jax.device_get can return zero-copy
+        # views of the live jax buffers — in-place torch updates would
+        # otherwise corrupt the jax params.
+        return torch.from_numpy(np.array(x, dtype=np.float32, copy=True))
 
     def load_dense(mod: nn.Linear, p):
         mod.weight.data = t(p["kernel"]).T.contiguous()
@@ -216,4 +219,6 @@ def np_index(tree, i):
 def load_jax_fusion(model: TorchFusion, params: dict) -> None:
     linears = [m for m in model.net if isinstance(m, nn.Linear)]
     for lin, p in zip(linears, params["layers"]):
-        lin.weight.data = torch.from_numpy(np.asarray(p["kernel"])).float().T.contiguous()
+        lin.weight.data = (
+            torch.from_numpy(np.array(p["kernel"], dtype=np.float32, copy=True)).T.contiguous()
+        )
