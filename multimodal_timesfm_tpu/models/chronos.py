@@ -53,7 +53,16 @@ _SCALE_EPS = 1e-10
 
 @dataclasses.dataclass(frozen=True)
 class Chronos2Config:
-    """Architecture hyperparameters. Defaults = assumed 120M geometry."""
+    """Architecture hyperparameters. Defaults = assumed 120M geometry.
+
+    Fine-tuning efficiency note: the encoder always processes
+    ``max_output_patches`` future-patch queries (reference behavior,
+    ``chronos.py:78-99``). The output head's weights are shared across patch
+    positions (positions are distinguished only by time encodings), so
+    setting ``max_output_patches = ceil(horizon / output_patch_size)`` for a
+    fixed-horizon fine-tune is weight-compatible with the pretrained
+    checkpoint and cuts encoder work substantially for short horizons.
+    """
 
     model_dim: int = 768
     num_layers: int = 16

@@ -14,6 +14,11 @@ Capability parity with the reference ``MultimodalTrainer``
   * per-epoch validation, epoch/best checkpointing with rotation, optional
     best-model restore at the end (``trainer.py:285-397``).
 
+One benign divergence: epoch shuffling uses a seeded numpy Generator rather
+than torch's global RNG, so the exact batch order differs from the reference
+for a given seed (both are deterministic; trajectory equivalence under a
+shared order is proven in ``tests/test_trajectory_parity.py``).
+
 TPU-native execution model (NOT the reference's per-batch host loop):
 
   * the entire dataset is staged to the device ONCE at construction; each
