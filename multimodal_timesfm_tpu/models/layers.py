@@ -232,15 +232,18 @@ def stacked_transformer(
     paddings: jax.Array,
     num_heads: int,
     head_dim: int,
+    unroll: int | bool = 1,
 ) -> jax.Array:
     """Run the whole stack as one ``lax.scan`` over stacked layer params.
 
     One compiled layer body reused L times: compile time stays flat in depth
-    and XLA double-buffers the per-layer weights from HBM.
+    and XLA double-buffers the per-layer weights from HBM. ``unroll`` unrolls
+    the scan body (lets XLA fuse across layer boundaries at higher compile
+    cost).
     """
 
     def body(h, layer_params):
         return transformer_layer(layer_params, h, paddings, num_heads, head_dim), None
 
-    out, _ = jax.lax.scan(body, x, params)
+    out, _ = jax.lax.scan(body, x, params, unroll=unroll)
     return out
