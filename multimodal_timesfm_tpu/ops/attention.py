@@ -199,11 +199,16 @@ fused_causal_attention.defvjp(_fwd, _bwd)
 
 
 def supports_pallas(seq: int, dim: int) -> bool:
-    """Tiling/size constraints for the whole-sequence kernels.
+    """Size gate for the whole-sequence kernels, set by v5e measurements.
 
-    The cap is set by the BACKWARD kernel's VMEM footprint (three (S, S)
-    fp32 buffers): S=1024 compiles on v5e, S=2048 does not.
+    Lower bound: the per-(batch*head) program does tiny matmuls at small S,
+    where XLA's batched attention GEMMs win — measured end-to-end training
+    throughput on v5e (TimesFM 200M, bf16): S=64 XLA 1.3x faster; S=256
+    pallas 1.06x; S=512 pallas 1.9x. Crossover is between 64 and 256.
+
+    Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
+    S=1024 compiles on v5e, S=2048 does not.
     """
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return seq >= 8 and seq % 8 == 0 and seq <= 1024 and dim <= 256
+    return seq >= 256 and seq % 8 == 0 and seq <= 1024 and dim <= 256
