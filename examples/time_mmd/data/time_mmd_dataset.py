@@ -258,9 +258,14 @@ class TimeMmdDataset(MultimodalDatasetBase):
             if len(ts_data) < window_len:
                 continue
 
-            # Parse window boundary dates once per column.
-            start_dt = pd.to_datetime(pd.Series(start_dates)).to_numpy()
-            end_dt = pd.to_datetime(pd.Series(end_dates)).to_numpy()
+            # Parse window boundary dates once per column, PER VALUE via str()
+            # like the reference's per-window pd.to_datetime(str(v)) — a
+            # whole-Series parse misreads integer date columns as epoch
+            # nanoseconds and rejects mixed formats.
+            start_dt = np.array(
+                [pd.to_datetime(str(v)).to_datetime64() for v in start_dates]
+            )
+            end_dt = np.array([pd.to_datetime(str(v)).to_datetime64() for v in end_dates])
 
             for shift in shifts:
                 for start_index in range(shift, len(ts_data) - window_len + 1, self.horizon_len):

@@ -89,13 +89,15 @@ class LocalSweep:
             values = spec["values"]
             return values[int(self._rng.integers(len(values)))]
         dist = spec.get("distribution")
-        lo, hi = spec.get("min"), spec.get("max")
+        # PyYAML (YAML 1.1) parses exponent-only floats like `1e-6` as
+        # strings — the shipped sweep YAMLs use that form, so coerce.
+        lo, hi = float(spec.get("min")), float(spec.get("max"))
         if dist == "uniform":
             return float(self._rng.uniform(lo, hi))
         if dist == "log_uniform_values":
             return float(math.exp(self._rng.uniform(math.log(lo), math.log(hi))))
         if dist == "int_uniform":
-            return int(self._rng.integers(lo, hi + 1))
+            return int(self._rng.integers(int(lo), int(hi) + 1))
         raise ValueError(f"Unsupported parameter spec: {spec}")
 
     def sample(self) -> dict[str, Any]:
@@ -111,9 +113,9 @@ class LocalSweep:
         results_path = self.output_dir / "sweep_results.jsonl"
         failures = 0
         for trial in range(count or 1):
-            config = self.sample()
-            run = LocalRun(f"local-{trial}", config, results_path)
+            run = LocalRun(f"local-{trial}", {}, results_path)
             try:
+                run.config = _Config(self.sample())
                 with run:
                     function(run)
             except Exception as e:  # noqa: BLE001 - trial isolation

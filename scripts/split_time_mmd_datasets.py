@@ -100,9 +100,15 @@ def main() -> int:
         return 1
 
     data_path = Path(args.data_path)
-    domains = args.domains or TimeMmdDataset.get_domains(data_path)
-    # Never re-split split outputs.
-    domains = [d for d in domains if not d.endswith(("_train", "_val", "_test"))]
+    if args.domains:
+        domains = args.domains  # explicit requests are honored unconditionally
+    else:
+        # Auto-discovery must never re-split previous split outputs.
+        domains = [
+            d
+            for d in TimeMmdDataset.get_domains(data_path)
+            if not d.endswith(("_train", "_val", "_test"))
+        ]
 
     for domain in domains:
         _logger.info("Splitting domain %s", domain)

@@ -146,3 +146,24 @@ def test_local_sweep_trial_isolation(tmp_path):
 
     with _pytest.raises(RuntimeError, match="All 2"):
         LocalSweep({"parameters": {}}, tmp_path / "f", seed=0).agent(always_fails, count=2)
+
+
+def test_shipped_sweep_yamls_sample_cleanly(tmp_path):
+    """Every shipped sweep YAML must sample through LocalSweep (PyYAML parses
+    exponent-only floats like 1e-6 as strings — regression guard)."""
+    from pathlib import Path
+
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+    from multimodal_timesfm_tpu.utils.yaml import load_yaml
+
+    sweep_dir = Path(__file__).parent.parent / "examples/time_mmd/configs/sweeps"
+    yamls = sorted(sweep_dir.glob("*.yml"))
+    assert len(yamls) >= 4
+    for path in yamls:
+        sweep = LocalSweep(load_yaml(path), tmp_path, seed=0)
+        for _ in range(5):
+            sample = sweep.sample()
+            assert isinstance(sample["learning_rate"], float), path.name
+            assert sample["learning_rate"] > 0
+            if "fusion_hidden_dim" in sample:
+                assert 256 <= sample["fusion_hidden_dim"] <= 2048
