@@ -203,8 +203,9 @@ def supports_pallas(seq: int, dim: int) -> bool:
 
     Lower bound: the per-(batch*head) program does tiny matmuls at small S,
     where XLA's batched attention GEMMs win — measured end-to-end training
-    throughput on v5e (TimesFM 200M, bf16): S=64 XLA 1.3x faster; S=256
-    pallas 1.06x; S=512 pallas 1.9x. Crossover is between 64 and 256.
+    throughput on v5e (TimesFM 200M, bf16): S=64 XLA 1.3x faster; S=128 XLA
+    1.28x faster; S=256 pallas 1.06x; S=512 pallas 1.9x. Crossover sits
+    between 128 and 256.
 
     Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
     S=1024 compiles on v5e, S=2048 does not.
