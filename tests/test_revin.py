@@ -122,3 +122,22 @@ def test_running_stats_offset_with_leading_padding():
     mu, sigma = masked_running_stats(jnp.asarray(x), jnp.asarray(mask))
     assert float(sigma[0, 1]) < 10.0  # not inflated by the garbage zeros
     assert abs(float(mu[0, 1]) - 1e5) < 10.0
+
+
+def test_pad_and_patchify():
+    from multimodal_timesfm_tpu.ops.patching import pad_and_patchify, patchify, unpatchify
+
+    x = jnp.arange(10, dtype=jnp.float32).reshape(1, 10)
+    patches, mask = pad_and_patchify(x, 4)
+    assert patches.shape == (1, 3, 4) and mask.shape == (1, 3, 4)
+    # left-padded: first 2 positions masked, data right-aligned
+    assert bool(mask[0, 0, 0]) and bool(mask[0, 0, 1]) and not bool(mask[0, 0, 2])
+    np.testing.assert_array_equal(np.asarray(patches[0, 2]), [6, 7, 8, 9])
+
+    # aligned input: no padding, mask all-False
+    aligned, amask = pad_and_patchify(jnp.ones((2, 8)), 4)
+    assert not bool(amask.any())
+    np.testing.assert_array_equal(np.asarray(unpatchify(aligned)), np.ones((2, 8)))
+
+    with pytest.raises(ValueError, match="divisible"):
+        patchify(jnp.ones((1, 10)), 4)
