@@ -113,7 +113,7 @@ def build_trainer(
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--batch-size", type=int, default=1024)
     # ~the augmented Time-MMD train-fold scale; large enough that per-epoch
     # dispatch overheads amortize to steady-state throughput.
     parser.add_argument("--num-samples", type=int, default=8192)

@@ -74,6 +74,40 @@ class MultimodalDecoder:
             params["adapter"], horizon, output_embeddings, pre.normalization_stats
         )
 
+    def forward_quantiles(
+        self,
+        params: Params,
+        horizon: int,
+        inputs: jax.Array,
+        masks: jax.Array,
+        text_embeddings: jax.Array | None = None,
+    ) -> jax.Array:
+        """Long-horizon quantile forecasts via the adapter's quantile head.
+
+        Extension over the reference surface: requires an adapter exposing
+        ``postprocess_quantiles`` (TimesFM with ``use_quantile_head=True``).
+        Returns (B, horizon, num_output_channels) for horizons up to the
+        quantile head's range.
+        """
+        postprocess_quantiles = getattr(self.adapter, "postprocess_quantiles", None)
+        if postprocess_quantiles is None:
+            raise NotImplementedError(
+                f"{type(self.adapter).__name__} has no quantile head; use forward_full"
+            )
+        if masks.shape != inputs.shape:
+            raise ValueError(f"masks shape {masks.shape} must match inputs shape {inputs.shape}")
+        masks = masks.astype(bool)
+        pre = self.adapter.preprocess(params["adapter"], inputs, masks)
+        embeddings = (
+            apply_fusion(params["fusion"], pre.input_embeddings, text_embeddings)
+            if text_embeddings is not None
+            else pre.input_embeddings
+        )
+        output_embeddings = self.adapter.forward(params["adapter"], embeddings, pre.masks)
+        return postprocess_quantiles(
+            params["adapter"], horizon, output_embeddings, pre.normalization_stats
+        )
+
     def __call__(
         self,
         params: Params,

@@ -81,3 +81,30 @@ def test_decoder_multimodal_path_uses_fusion(decoder, params):
 def test_decoder_mask_shape_guard(decoder, params):
     with pytest.raises(ValueError, match="masks shape"):
         decoder(params, 8, jnp.ones((2, 16)), jnp.zeros((2, 8), bool))
+
+
+def test_forward_quantiles_path():
+    import dataclasses
+
+    cfg = dataclasses.replace(TimesFMConfig.tiny(), use_quantile_head=True, quantile_horizon=16)
+    decoder = MultimodalDecoder(
+        TimesFM2p5Adapter(cfg), MultimodalDecoderConfig(text_embedding_dims=6)
+    )
+    params = decoder.init(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16)), jnp.float32)
+    masks = jnp.zeros((2, 16), bool)
+    q = decoder.forward_quantiles(params, 12, x, masks)
+    assert q.shape == (2, 12, 10)
+    # beyond output_patch_len (8) but within quantile_horizon (16): only this
+    # head can serve horizon 12 in one shot
+    with pytest.raises(ValueError, match="output_patch_len"):
+        decoder.forward_full(params, 12, x, masks)
+
+    # chronos has no quantile head method
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+
+    cdec = MultimodalDecoder(
+        Chronos2Adapter(Chronos2Config.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
+    )
+    with pytest.raises(NotImplementedError, match="quantile head"):
+        cdec.forward_quantiles(cdec.init(jax.random.key(1)), 8, x, masks)
