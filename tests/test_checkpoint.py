@@ -62,3 +62,56 @@ def test_rotation(tmp_path):
     rotate_checkpoints(tmp_path, 2)
     remaining = sorted(p.name for p in tmp_path.glob("checkpoint_epoch_*.ckpt"))
     assert remaining == ["checkpoint_epoch_3.ckpt", "checkpoint_epoch_4.ckpt"]
+
+
+def test_trainer_with_orbax_backend(tmp_path):
+    """End-to-end: trainer saves/rotates orbax directory checkpoints."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from multimodal_timesfm_tpu.models.decoder import (
+        MultimodalDecoder,
+        MultimodalDecoderConfig,
+    )
+    from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+    from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
+    from multimodal_timesfm_tpu.training_args import TrainingArguments
+    from multimodal_timesfm_tpu.types import PreprocessedSample
+
+    rng = np.random.default_rng(0)
+    samples = [
+        PreprocessedSample(
+            context=rng.normal(size=16).astype(np.float32),
+            horizon=rng.normal(size=8).astype(np.float32),
+            metadata={},
+        )
+        for _ in range(12)
+    ]
+    decoder = MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
+    )
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=decoder.init(jax.random.key(0)),
+        args=TrainingArguments(
+            output_dir=str(tmp_path / "out"),
+            per_device_train_batch_size=8,
+            num_train_epochs=3,
+            eval_strategy="epoch",
+            save_strategy="epoch",
+            save_total_limit=1,
+            logging_strategy="no",
+            seed=0,
+        ),
+        train_dataset=samples,
+        val_dataset=samples[:8],
+        mode="baseline",
+        ckpt_backend="orbax",
+    )
+    trainer.train()
+    ckpt_dirs = list(trainer.args.checkpoint_dir.glob("checkpoint_epoch_*.ckpt"))
+    assert len(ckpt_dirs) == 1 and ckpt_dirs[0].is_dir()  # rotated directories
+    best = trainer.args.checkpoint_dir / "best_model.ckpt"
+    assert best.is_dir()
+    restored = load_checkpoint(best)
+    assert "adapter_params" in restored

@@ -137,3 +137,21 @@ def test_hf_tokenizer_wrapper_local_snapshot(tmp_path, vocab_file):
     assert wrapper.encode(text) == hf.encode(text, add_special_tokens=True)
     ids, mask = wrapper.encode_batch([text, "the"])
     assert ids.shape == mask.shape and ids.shape[1] == 16
+
+
+def test_tokenizer_fuzz_vs_hf(vocab_file):
+    """Randomized text: python WordPiece ids must always equal HF BertTokenizer."""
+    import random
+
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(str(vocab_file), do_lower_case=True)
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    rng = random.Random(0)
+    alphabet = (
+        "abcdefgh THE QUICK brown fox ,.!«»¿·​­‎﻿"
+        "éàüñÅŁðßœ漢字カナ 0123  \t\n"
+    )
+    for _ in range(200):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        assert py.encode(text) == hf.encode(text, add_special_tokens=True), repr(text)
