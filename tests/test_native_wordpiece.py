@@ -105,3 +105,18 @@ def test_unicode_punct_and_format_chars_match_hf(vocab_file, native_available):
         ref = hf.encode(text, add_special_tokens=True)
         assert py.encode(text) == ref, f"py {text!r}"
         assert native.encode(text) == ref, f"native {text!r}"
+
+
+def test_native_fuzz_vs_python_on_parity_domain(vocab_file, native_available):
+    """Random ASCII + Latin-1/Ext-A text: native ids must equal python ids."""
+    import random
+
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    native = NativeWordPiece(vocab_file)
+    rng = random.Random(1)
+    alphabet = (
+        "abcdefghij THE QUICK brown fox dog ,.!?«»¿·§¶ éàüñÅåŁłðßþœĆčĘşŽž 0123 \t\n"
+    )
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+        assert native.encode(text) == py.encode(text), repr(text)
