@@ -160,13 +160,19 @@ def causal_attention(
     batch, seq, _ = x.shape
     qkv = dense(params["qkv"], x).reshape(batch, seq, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q = _scale_query(q, params["per_dim_scale"], head_dim)
 
-    key_valid = ~paddings  # (B, N)
-    if supports_pallas(seq, head_dim):
-        out = fused_causal_attention(q, k, v, key_valid)
+    if seq == 1:
+        # Single causal position: softmax over one key is identity, so
+        # attention output == v (the reference's default 32-step context is
+        # exactly one patch token, making this the headline-workload path).
+        out = v
     else:
-        out = xla_causal_attention(q, k, v, key_valid)
+        q = _scale_query(q, params["per_dim_scale"], head_dim)
+        key_valid = ~paddings  # (B, N)
+        if supports_pallas(seq, head_dim):
+            out = fused_causal_attention(q, k, v, key_valid)
+        else:
+            out = xla_causal_attention(q, k, v, key_valid)
     out = out.reshape(batch, seq, num_heads * head_dim).astype(x.dtype)
     return dense(params["out"], out)
 

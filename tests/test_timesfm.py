@@ -125,3 +125,31 @@ def test_quantile_head():
     bparams = base.init(jax.random.key(0))
     with pytest.raises(ValueError, match="use_quantile_head"):
         base.postprocess_quantiles(bparams, 8, out, pre.normalization_stats)
+
+
+def test_single_patch_context_matches_general_path():
+    """The seq==1 attention shortcut must equal the general softmax path."""
+    from multimodal_timesfm_tpu.models import layers as L
+
+    cfg = TimesFMConfig.tiny()
+    adapter = TimesFM2p5Adapter(cfg)
+    params = adapter.init(jax.random.key(2))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)), jnp.float32)  # 1 patch
+    masks = jnp.zeros((3, 4), bool)
+    pre = adapter.preprocess(params, x, masks)
+    out = adapter.forward(params, pre.input_embeddings, pre.masks)
+
+    # general path: run attention explicitly with the XLA implementation
+    from multimodal_timesfm_tpu.ops.attention import xla_causal_attention
+
+    layer0 = jax.tree.map(lambda p: p[0], params["stacked_xf"])
+    h = L.rms_norm(layer0["attn_norm"], pre.input_embeddings)
+    qkv = L.dense(layer0["attn"]["qkv"], h).reshape(3, 1, 3, cfg.num_heads, cfg.head_dim)
+    q = L._scale_query(qkv[:, :, 0], layer0["attn"]["per_dim_scale"], cfg.head_dim)
+    ref = xla_causal_attention(q, qkv[:, :, 1], qkv[:, :, 2], jnp.ones((3, 1), bool))
+    short = L.causal_attention(
+        layer0["attn"], h, jnp.zeros((3, 1), bool), cfg.num_heads, cfg.head_dim
+    )
+    ref_out = L.dense(layer0["attn"]["out"], ref.reshape(3, 1, -1))
+    np.testing.assert_allclose(np.asarray(short), np.asarray(ref_out), atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
