@@ -1,0 +1,66 @@
+"""Utility-layer tests: mesh helpers, profiling counters, platform knob."""
+
+import os
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_timesfm_tpu.parallel.mesh import (
+    MeshConfig,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+    resolve_platform,
+    shard_batch,
+)
+from multimodal_timesfm_tpu.utils.profiling import Throughput
+
+
+def test_make_mesh_shapes_and_errors():
+    mesh = make_mesh(MeshConfig(data_parallel=-1, model_parallel=2))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="does not match"):
+        make_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(7, 4) == 8
+    assert pad_to_multiple(8, 4) == 8
+    assert pad_to_multiple(1, 8) == 8
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    tree = {"x": np.ones((16, 4), np.float32)}
+    placed = shard_batch(mesh, tree)
+    assert placed["x"].sharding == batch_sharding(mesh)
+    assert replicated(mesh).is_fully_replicated
+
+
+def test_resolve_platform():
+    assert resolve_platform("tpu") == "tpu"
+    assert resolve_platform() == jax.devices()[0].platform
+
+
+def test_throughput_counters():
+    t = Throughput()
+    t.start()
+    time.sleep(0.01)
+    elapsed = t.stop(items=100)
+    assert elapsed >= 0.01
+    assert t.steps == 1 and t.total_items == 100
+    assert t.items_per_sec > 0
+    assert t.mean_step_seconds == pytest.approx(t.total_seconds)
+
+
+def test_apply_platform_env(monkeypatch):
+    from multimodal_timesfm_tpu.utils.platform import apply_platform_env
+
+    monkeypatch.setenv("MTT_PLATFORM", "cpu")
+    apply_platform_env()  # idempotent on an already-cpu test session
+    assert jax.devices()[0].platform == "cpu"
+    monkeypatch.delenv("MTT_PLATFORM")
+    apply_platform_env()  # no-op without the env var
