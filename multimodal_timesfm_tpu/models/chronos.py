@@ -61,7 +61,9 @@ class Chronos2Config:
     positions (positions are distinguished only by time encodings), so
     setting ``max_output_patches = ceil(horizon / output_patch_size)`` for a
     fixed-horizon fine-tune is weight-compatible with the pretrained
-    checkpoint and cuts encoder work substantially for short horizons.
+    checkpoint and cuts encoder work substantially for short horizons —
+    measured 7.4x training throughput on v5e for the horizon-32 workload
+    (17.7k series/s at mop=2 vs 2.4k at the default 64).
     """
 
     model_dim: int = 768
