@@ -114,9 +114,10 @@ def build_trainer(
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=1024)
-    # ~the augmented Time-MMD train-fold scale; large enough that per-epoch
-    # dispatch overheads amortize to steady-state throughput.
-    parser.add_argument("--num-samples", type=int, default=8192)
+    # ~the augmented Time-MMD train-fold scale (5 domains x 32 shift-augment
+    # multiplier); large enough that per-epoch dispatch overheads amortize to
+    # steady-state throughput on the 1-core host.
+    parser.add_argument("--num-samples", type=int, default=16384)
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     parser.add_argument("--tiny", action="store_true", help="Tiny model (debug)")
