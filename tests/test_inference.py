@@ -91,3 +91,21 @@ def test_autoregressive_first_window_uses_text():
     without = f.forecast_autoregressive(8, ctx)
     assert not np.allclose(with_text, without)
     np.testing.assert_allclose(with_text, f.forecast(8, ctx, text_embeddings=text), atol=1e-5)
+
+
+def test_forecaster_with_chronos_backend():
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+
+    decoder = MultimodalDecoder(
+        Chronos2Adapter(Chronos2Config.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
+    )
+    params = decoder.init(jax.random.key(0))
+    ctx = np.random.default_rng(0).normal(size=(5, 16)).astype(np.float32)
+    f = Forecaster(decoder, params, batch_size=4)
+    point = f.forecast(8, ctx)
+    assert point.shape == (5, 8)
+    full = f.forecast(8, ctx, full=True)
+    assert full.shape == (5, 8, 9)
+    # autoregressive passthrough (chronos serves long horizons natively)
+    long = f.forecast_autoregressive(16, ctx)
+    assert long.shape == (5, 16) and np.isfinite(long).all()

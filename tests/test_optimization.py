@@ -167,3 +167,14 @@ def test_shipped_sweep_yamls_sample_cleanly(tmp_path):
             assert sample["learning_rate"] > 0
             if "fusion_hidden_dim" in sample:
                 assert 256 <= sample["fusion_hidden_dim"] <= 2048
+
+
+def test_shipped_training_yaml_loads(tmp_path, monkeypatch):
+    from pathlib import Path
+
+    monkeypatch.chdir(tmp_path)  # output_dir mkdirs land in tmp
+    yml = Path(__file__).parent.parent / "examples/time_mmd/configs/training/default.yml"
+    args = TrainingArguments.from_yaml(yml)
+    assert args.lr_scheduler_type == "cosine"
+    assert args.learning_rate == 1e-4
+    assert args.load_best_model_at_end
