@@ -1,28 +1,44 @@
 #!/usr/bin/env python3
-"""Benchmark: Time-MMD-shaped multimodal fine-tune + eval throughput (series/sec).
+"""Benchmarks: Time-MMD-shaped fine-tune + eval throughput across regimes.
 
-Workload (mirrors the reference's primary configuration, SURVEY.md §6):
-TimesFM 2.5 200M-geometry backbone, frozen, with a trainable 1-layer fusion
-head; context 32 / horizon 32 / patch 32; 384-d cached text embeddings;
-MSE point-forecast loss; AdamW + linear warmup schedule. Synthetic data with
-Time-MMD statistics (z-scored contexts) is used so the benchmark needs no
-network access.
+Headline workload (mirrors the reference's primary configuration, SURVEY.md
+§6): TimesFM 2.5 200M-geometry backbone, frozen, with a trainable 1-layer
+fusion head; context 32 / horizon 32 / patch 32; 384-d cached text
+embeddings; MSE point-forecast loss; AdamW + linear warmup. Synthetic data
+with Time-MMD statistics (z-scored contexts) so no network is needed.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "series/sec", "vs_baseline": N}
+Additional workloads cover the regimes where attention dominates (VERDICT
+round 1, weak #2): TimesFM at context 512 and 2048 (16/64 patch tokens — the
+Pallas kernel engages at >=256 tokens on TPU) and Chronos-2 at the
+checkpoint-default ``max_output_patches=64``.
 
-``vs_baseline`` compares against the measured torch-CPU reference equivalent
-recorded in BASELINE_MEASURED.json (see tests/torch_reference.py).
+Prints ONE JSON line. The headline metric keeps the driver contract
+(``metric``/``value``/``unit``/``vs_baseline``) and adds:
+  * ``mfu`` + ``flops_per_series``: analytic dense-FLOPs estimate (matmuls
+    only, fwd + required backward paths) against the device's bf16 peak,
+  * ``baseline_kind``: provenance of the ``vs_baseline`` denominator — a
+    1-core torch-CPU mirror of the architecture (tests/torch_reference.py),
+    NOT the upstream reference stack (unavailable offline),
+  * ``workloads``: the non-headline modes' series/s + MFU.
+
+``--attention-bench`` instead micro-benchmarks the Pallas fused attention
+kernel against the XLA path across sequence lengths (reproduces the
+crossover table in ``ops/attention.py:supports_pallas``).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _enable_compile_cache() -> None:
@@ -35,12 +51,85 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_trainer(
-    batch_size: int, num_samples: int, epochs: int, tiny: bool = False, dtype: str = "bfloat16"
-):
+# ---------------------------------------------------------------------------
+# analytic FLOPs (dense matmul terms only; elementwise ignored)
+# ---------------------------------------------------------------------------
+
+
+def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384) -> float:
+    """Training FLOPs/series: fwd + input-grad path (frozen backbone) or +dW."""
+    n = context // cfg.input_patch_len
+    p, md, ffn = cfg.input_patch_len, cfg.model_dims, cfg.ffn_dims
+    o, q = cfg.output_patch_len, cfg.num_output_channels
+    tokenizer = 2 * n * (2 * p * md + md * md + 2 * p * md)
+    stack = cfg.num_layers * (n * (8 * md * md + 4 * md * ffn) + 4 * n * n * md)
+    head = 2 * n * (md * md + 2 * md * o * q)
+    fwd = tokenizer + stack + head
+    fusion = 2 * n * text_dims * md
+    # multimodal: frozen backbone still needs d/d(input) through every matmul
+    # (one extra matmul each, ~1x fwd); fusion needs dX+dW (~3x its fwd).
+    backbone_mult = 2.0 if mode == "multimodal" else 3.0
+    return backbone_mult * fwd + 3.0 * fusion
+
+
+def chronos_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384) -> float:
+    nc = context // cfg.input_patch_size
+    mop = cfg.max_output_patches
+    s = nc + (1 if cfg.use_reg_token else 0) + mop
+    p, dm, ffn = cfg.input_patch_size, cfg.model_dim, cfg.ffn_dim
+    qo = cfg.num_quantiles * cfg.output_patch_size
+    embed = 2 * (nc + mop) * (3 * p * ffn + ffn * dm + 3 * p * dm)
+    stack = cfg.num_layers * (s * (8 * dm * dm + 4 * dm * ffn) + 4 * s * s * dm)
+    head = 2 * mop * (dm * ffn + ffn * qo + dm * qo)
+    fwd = embed + stack + head
+    fusion = 2 * nc * text_dims * dm
+    backbone_mult = 2.0 if mode == "multimodal" else 3.0
+    return backbone_mult * fwd + 3.0 * fusion
+
+
+# Dense bf16 peak FLOP/s per chip by device kind (public TPU specs).
+_PEAKS = (
+    ("v6e", 918e12),
+    ("v6 lite", 918e12),
+    ("trillium", 918e12),
+    ("v5p", 459e12),
+    ("v5e", 197e12),
+    ("v5 lite", 197e12),
+    ("v5litepod", 197e12),
+    ("v4", 275e12),
+)
+
+
+def peak_flops_per_sec() -> float | None:
     import jax
 
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAKS:
+        if key in kind:
+            return peak
+    return None
+
+
+# ---------------------------------------------------------------------------
+# trainer builders
+# ---------------------------------------------------------------------------
+
+
+def build_trainer(
+    backbone: str,
+    context_len: int,
+    horizon_len: int,
+    batch_size: int,
+    num_samples: int,
+    epochs: int,
+    tiny: bool = False,
+    dtype: str = "bfloat16",
+):
+    import jax
+    import jax.numpy as jnp
+
     from multimodal_timesfm_tpu.data.collate import StackedDataset
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
     from multimodal_timesfm_tpu.models.decoder import (
         MultimodalDecoder,
         MultimodalDecoderConfig,
@@ -50,21 +139,17 @@ def build_trainer(
     from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
     from multimodal_timesfm_tpu.training_args import TrainingArguments
 
-    import jax.numpy as jnp
-
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    if tiny:
-        cfg = TimesFMConfig.tiny()
+    if backbone == "timesfm":
+        cfg = TimesFMConfig.tiny() if tiny else TimesFMConfig(compute_dtype=compute_dtype)
+        adapter = TimesFM2p5Adapter(cfg)
     else:
-        cfg = TimesFMConfig(compute_dtype=compute_dtype)
-    context_len = 8 * cfg.input_patch_len if tiny else 32
-    horizon_len = min(cfg.output_patch_len, 32)
-    num_patches = context_len // cfg.input_patch_len
+        cfg = Chronos2Config.tiny() if tiny else Chronos2Config(compute_dtype=compute_dtype)
+        adapter = Chronos2Adapter(cfg)
+    num_patches = context_len // adapter.patch_len
     text_dims = 384
 
-    decoder = MultimodalDecoder(
-        TimesFM2p5Adapter(cfg), MultimodalDecoderConfig(text_embedding_dims=text_dims)
-    )
+    decoder = MultimodalDecoder(adapter, MultimodalDecoderConfig(text_embedding_dims=text_dims))
     params = decoder.init(jax.random.key(0))
 
     rng = np.random.default_rng(0)
@@ -76,18 +161,18 @@ def build_trainer(
         ),
         metadata=[{} for _ in range(num_samples)],
     )
+    n_val = max(batch_size, 8)
     val = StackedDataset(
-        context=data.context[: max(batch_size, 8)],
-        horizon=data.horizon[: max(batch_size, 8)],
-        text_embeddings=data.text_embeddings[: max(batch_size, 8)],
-        metadata=[{} for _ in range(max(batch_size, 8))],
+        context=data.context[:n_val],
+        horizon=data.horizon[:n_val],
+        text_embeddings=data.text_embeddings[:n_val],
+        metadata=[{} for _ in range(n_val)],
     )
 
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="bench_out_")
     args = TrainingArguments(
-        output_dir=tmp,
+        output_dir=tempfile.mkdtemp(prefix="bench_out_"),
         per_device_train_batch_size=batch_size,
         per_device_eval_batch_size=batch_size,
         num_train_epochs=epochs,
@@ -108,58 +193,182 @@ def build_trainer(
         mesh=mesh,
         frozen_cast_dtype=compute_dtype if compute_dtype != jnp.float32 else None,
     )
-    return trainer
+    return trainer, cfg
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=1024)
-    # ~the augmented Time-MMD train-fold scale (5 domains x 32 shift-augment
-    # multiplier); large enough that per-epoch dispatch overheads amortize to
-    # steady-state throughput on the 1-core host.
-    parser.add_argument("--num-samples", type=int, default=16384)
-    parser.add_argument("--epochs", type=int, default=3)
-    parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
-    parser.add_argument("--tiny", action="store_true", help="Tiny model (debug)")
-    parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here.")
-    args = parser.parse_args()
+# ---------------------------------------------------------------------------
+# workload definitions
+# ---------------------------------------------------------------------------
 
-    _enable_compile_cache()
-    trainer = build_trainer(
-        args.batch_size, args.num_samples, args.epochs + 1, args.tiny, args.dtype
-    )
+# name -> (backbone, context, horizon, batch, samples, epochs)
+WORKLOADS: dict[str, tuple[str, int, int, int, int, int]] = {
+    # Headline: the reference-default geometry (1 patch token).
+    "timesfm_mm_c32": ("timesfm", 32, 32, 1024, 16384, 3),
+    # Attention-relevant regimes: 16 and 64 patch tokens.
+    "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2),
+    "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2),
+    # Chronos-2 at the checkpoint-default max_output_patches=64 (the
+    # parity-safe setting; see PARITY.md "max_output_patches semantics").
+    "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2),
+}
+HEADLINE = "timesfm_mm_c32"
 
-    # Warmup: compile train + eval programs and do the first transfers.
+
+def run_workload(name: str, tiny: bool, dtype: str, profile_dir: str | None = None) -> dict:
+    backbone, context, horizon, batch, samples, epochs = WORKLOADS[name]
+    if tiny:
+        batch, samples, epochs, context, horizon = 8, 32, 1, 32, 8
+    _log(f"[bench] {name}: building trainer (context={context}, batch={batch})")
+    trainer, cfg = build_trainer(backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype)
+
+    _log(f"[bench] {name}: warmup (compile)")
     trainer.train_epoch()
     trainer.validate_epoch()
 
     from multimodal_timesfm_tpu.utils.profiling import trace
 
     t0 = time.perf_counter()
-    with trace(args.profile_dir or ".", enabled=bool(args.profile_dir)):
-        for _ in range(args.epochs):
+    with trace(profile_dir or ".", enabled=bool(profile_dir)):
+        for _ in range(epochs):
             trainer.train_epoch()
         trainer.validate_epoch()
     elapsed = time.perf_counter() - t0
 
-    total_series = args.num_samples * args.epochs + len(trainer.val_data)
+    total_series = samples * epochs + len(trainer.val_data)
     series_per_sec = total_series / elapsed
+
+    flops_fn = timesfm_flops_per_series if backbone == "timesfm" else chronos_flops_per_series
+    flops = flops_fn(cfg, context, "multimodal")
+    peak = peak_flops_per_sec()
+    mfu = (series_per_sec * flops / peak) if peak else None
+    result = {
+        "name": name,
+        "series_per_sec": round(series_per_sec, 2),
+        "flops_per_series": round(flops),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }
+    _log(f"[bench] {name}: {result}")
+    return result
+
+
+def attention_bench(dtype: str) -> int:
+    """Pallas fused attention vs XLA, fwd+bwd, across sequence lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.ops.attention import (
+        fused_causal_attention,
+        supports_pallas,
+        xla_causal_attention,
+    )
+
+    interpret = jax.default_backend() == "cpu"
+    comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    batch, heads, dim = 8, 16, 80
+    rows = []
+    for seq in (64, 128, 256, 512, 1024):
+        rng = np.random.default_rng(seq)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), comp_dtype) for _ in range(3)
+        )
+        valid = jnp.ones((batch, seq), bool)
+
+        def loss_of(attn_fn):
+            def loss(q, k, v):
+                return jnp.sum(attn_fn(q, k, v, valid).astype(jnp.float32) ** 2)
+
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+        def timeit(fn, *args, reps=20):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / reps
+
+        xla_t = timeit(loss_of(xla_causal_attention), q, k, v)
+        pallas_fn = loss_of(lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret))
+        pallas_t = timeit(pallas_fn, q, k, v) if (interpret or seq <= 1024) else None
+        rows.append(
+            {
+                "seq": seq,
+                "xla_ms": round(xla_t * 1e3, 3),
+                "pallas_ms": round(pallas_t * 1e3, 3) if pallas_t else None,
+                "pallas_speedup": round(xla_t / pallas_t, 3) if pallas_t else None,
+                "gate_selects_pallas": supports_pallas(seq, dim),
+            }
+        )
+        _log(f"[attention-bench] {rows[-1]}")
+    print(json.dumps({"metric": "pallas_attention_crossover", "rows": rows}))
+    return 0
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--workloads",
+        default="all",
+        help=f"comma-separated subset of {list(WORKLOADS)} , 'headline', or 'all'",
+    )
+    parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    parser.add_argument("--tiny", action="store_true", help="Tiny models (debug/CI)")
+    parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here.")
+    parser.add_argument(
+        "--attention-bench",
+        action="store_true",
+        help="Micro-benchmark Pallas vs XLA attention instead of the training workloads.",
+    )
+    args = parser.parse_args()
+
+    _enable_compile_cache()
+    if args.attention_bench:
+        return attention_bench(args.dtype)
+
+    if args.workloads == "all":
+        names = list(WORKLOADS)
+    elif args.workloads == "headline":
+        names = [HEADLINE]
+    else:
+        names = [n.strip() for n in args.workloads.split(",")]
+        unknown = set(names) - set(WORKLOADS)
+        if unknown:
+            parser.error(f"unknown workloads: {sorted(unknown)}")
+    if HEADLINE not in names:
+        names.insert(0, HEADLINE)
+
+    results = {}
+    for name in names:
+        try:
+            results[name] = run_workload(name, args.tiny, args.dtype, args.profile_dir)
+        except Exception as exc:  # a non-headline failure must not kill the artifact
+            if name == HEADLINE:
+                raise
+            _log(f"[bench] {name} FAILED: {exc}")
+            results[name] = {"name": name, "error": str(exc)[:300]}
+
+    headline = results[HEADLINE]
 
     baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
     vs_baseline = None
     if baseline_file.exists():
-        baseline = json.loads(baseline_file.read_text())
-        ref = baseline.get("torch_cpu_series_per_sec")
+        ref = json.loads(baseline_file.read_text()).get("torch_cpu_series_per_sec")
         if ref:
-            vs_baseline = series_per_sec / ref
+            vs_baseline = headline["series_per_sec"] / ref
 
     print(
         json.dumps(
             {
                 "metric": "timemmd_multimodal_finetune_series_per_sec",
-                "value": round(series_per_sec, 2),
+                "value": headline["series_per_sec"],
                 "unit": "series/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "baseline_kind": "1-core torch-CPU mirror of the architecture "
+                "(tests/torch_reference.py); upstream reference stack unavailable offline",
+                "mfu": headline["mfu"],
+                "flops_per_series": headline["flops_per_series"],
+                "workloads": [results[n] for n in names if n != HEADLINE],
             }
         )
     )

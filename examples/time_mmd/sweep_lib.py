@@ -76,14 +76,24 @@ def build_adapter(model_config: ModelConfig, pretrained_dir: str | None) -> Tsfm
     ``pretrained_dir`` points at a local checkpoint directory (see
     ``models/convert.py``); without it the backbone is randomly initialized
     (logged — this environment has no network access for HF downloads).
+
+    Geometry precedence: YAML ``arch`` overrides > the snapshot's own
+    ``config.json`` (when ``pretrained_dir`` carries one) > dataclass
+    defaults. The reference gets the middle tier from HF config classes
+    (``/root/reference/src/tsfmx/tsfm/chronos.py:192``).
     """
+    from multimodal_timesfm_tpu.models.snapshot import read_hf_config
+
     arch = dict(model_config.adapter.arch)
+    hf = read_hf_config(pretrained_dir) if pretrained_dir and Path(pretrained_dir).is_dir() else None
     if model_config.adapter.type == "timesfm":
-        adapter: TsfmAdapter = TimesFM2p5Adapter(TimesFMConfig(**arch))
+        base = TimesFM2p5Adapter.config_from_hf(hf) if hf else TimesFMConfig()
+        adapter: TsfmAdapter = TimesFM2p5Adapter(replace(base, **arch))
     elif model_config.adapter.type == "chronos":
         if "quantiles" in arch:
             arch["quantiles"] = tuple(arch["quantiles"])
-        adapter = Chronos2Adapter(Chronos2Config(**arch))
+        base_c = Chronos2Adapter.config_from_hf(hf) if hf else Chronos2Config()
+        adapter = Chronos2Adapter(replace(base_c, **arch))
     else:
         raise NotImplementedError(f"Unsupported adapter type: {model_config.adapter.type!r}")
     if adapter.patch_len != model_config.adapter.patch_len:

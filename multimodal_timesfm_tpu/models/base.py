@@ -88,8 +88,29 @@ class TsfmAdapter(ABC):
 
         return load_backbone_checkpoint(path, self)
 
+    @staticmethod
+    def config_from_hf(hf_config: dict) -> Any:
+        """Build this adapter's config dataclass from an HF ``config.json`` dict."""
+        raise NotImplementedError
+
     @classmethod
-    def from_pretrained(cls, checkpoint_dir, config=None) -> tuple["TsfmAdapter", Params]:
-        """Create the adapter and load pretrained params from a local directory."""
+    def from_pretrained(cls, path_or_repo, config=None) -> tuple["TsfmAdapter", Params]:
+        """Create the adapter and load pretrained params from a snapshot.
+
+        ``path_or_repo`` is a local snapshot directory, a checkpoint file, or
+        an HF repo id resolved against local caches (see
+        ``models/snapshot.py`` — the zero-egress counterpart of the
+        reference's ``from_pretrained(repo_id)`` at ``tsfm/timesfm.py:136-141``).
+        When ``config`` is not given and the snapshot carries a
+        ``config.json``, the backbone geometry is read from it rather than
+        assumed.
+        """
+        from multimodal_timesfm_tpu.models.snapshot import read_hf_config, resolve_snapshot_dir
+
+        snapshot = resolve_snapshot_dir(path_or_repo)
+        if config is None and snapshot.is_dir():
+            hf = read_hf_config(snapshot)
+            if hf is not None:
+                config = cls.config_from_hf(hf)
         adapter = cls(config) if config is not None else cls()
-        return adapter, adapter.load_checkpoint(checkpoint_dir)
+        return adapter, adapter.load_checkpoint(snapshot)

@@ -255,6 +255,12 @@ class Chronos2Adapter(TsfmAdapter):
     def __init__(self, config: Chronos2Config | None = None) -> None:
         self.config = config or Chronos2Config()
 
+    @staticmethod
+    def config_from_hf(hf_config: dict) -> Chronos2Config:
+        from multimodal_timesfm_tpu.models.snapshot import chronos2_config_from_hf
+
+        return chronos2_config_from_hf(hf_config)
+
     @property
     def model_dims(self) -> int:
         return self.config.model_dim

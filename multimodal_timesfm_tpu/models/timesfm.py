@@ -118,6 +118,12 @@ class TimesFM2p5Adapter(TsfmAdapter):
     def __init__(self, config: TimesFMConfig | None = None) -> None:
         self.config = config or TimesFMConfig()
 
+    @staticmethod
+    def config_from_hf(hf_config: dict) -> TimesFMConfig:
+        from multimodal_timesfm_tpu.models.snapshot import timesfm_config_from_hf
+
+        return timesfm_config_from_hf(hf_config)
+
     @property
     def model_dims(self) -> int:
         return self.config.model_dims

@@ -116,8 +116,12 @@ class EnglishTextEncoder(TextEncoderBase):
         return init_bert(rng, self.config)
 
     def _load_pretrained(self, model_dir: Path):
+        from multimodal_timesfm_tpu.models.snapshot import bert_config_from_hf, read_hf_config
         from multimodal_timesfm_tpu.text.convert import load_hf_bert
 
+        hf = read_hf_config(model_dir)
+        if hf is not None:
+            self.config = bert_config_from_hf(hf, defaults=self.config)
         return load_hf_bert(model_dir, self.config)
 
     def _encode_arrays(self, ids, mask):
@@ -147,9 +151,16 @@ class JapaneseTextEncoder(TextEncoderBase):
         return init_modernbert(rng, self.config)
 
     def _load_pretrained(self, model_dir: Path):
+        from multimodal_timesfm_tpu.models.snapshot import (
+            modernbert_config_from_hf,
+            read_hf_config,
+        )
         from multimodal_timesfm_tpu.text.convert import _load_state_dict
         from multimodal_timesfm_tpu.text.tokenizer import HFTokenizerWrapper
 
+        hf = read_hf_config(model_dir)
+        if hf is not None:
+            self.config = modernbert_config_from_hf(hf, defaults=self.config)
         params = convert_hf_modernbert_state(_load_state_dict(model_dir), self.config)
         # ruri's tokenizer is a unigram model; load it from the snapshot via
         # transformers (offline).

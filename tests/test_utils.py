@@ -64,3 +64,27 @@ def test_apply_platform_env(monkeypatch):
     assert jax.devices()[0].platform == "cpu"
     monkeypatch.delenv("MTT_PLATFORM")
     apply_platform_env()  # no-op without the env var
+
+
+def test_setup_logger_idempotent_and_file_additive(tmp_path):
+    import logging
+
+    from multimodal_timesfm_tpu.utils.logging import get_logger, setup_logger
+
+    logger = setup_logger("mmfm_test_logger")
+    n_handlers = len(logger.handlers)
+    assert setup_logger("mmfm_test_logger") is logger
+    assert len(logger.handlers) == n_handlers  # no duplicate stream handlers
+
+    log_file = tmp_path / "logs" / "run.log"
+    setup_logger("mmfm_test_logger", log_file=log_file)
+    setup_logger("mmfm_test_logger", log_file=log_file)  # same file attaches once
+    file_handlers = [h for h in logger.handlers if isinstance(h, logging.FileHandler)]
+    assert len(file_handlers) == 1
+    logger.info("hello file")
+    file_handlers[0].flush()
+    assert "hello file" in log_file.read_text()
+
+    child = get_logger("unit")
+    assert child.name == "multimodal_timesfm_tpu.unit"
+    assert get_logger().name == "multimodal_timesfm_tpu"
