@@ -33,12 +33,17 @@ def load_fold_datasets(
     context_len: int,
     horizon_len: int,
     cache_dir: Path,
+    require_pretrained_embeddings: bool = False,
 ) -> tuple[
     ConcatDataset[PreprocessedSample],
     ConcatDataset[PreprocessedSample],
     ConcatDataset[PreprocessedSample],
 ]:
-    """Load cached datasets for a single fold (reference ``cross_validation.py:27-78``)."""
+    """Load cached datasets for a single fold (reference ``cross_validation.py:27-78``).
+
+    ``require_pretrained_embeddings=True`` refuses caches built with the
+    random-weights/hash text-encoder fallback (see PreprocessPipeline.load).
+    """
     cache = PreprocessPipeline(cache_dir)
 
     def load_cached_domains(domain_specs: list[DomainSpec]) -> list[PreprocessedDataset]:
@@ -53,7 +58,8 @@ def load_fold_datasets(
                 horizon_len=horizon_len,
                 augment=spec.augment,
             )
-            datasets.append(PreprocessedDataset(cache.load(cache_path), mode="multimodal"))
+            samples = cache.load(cache_path, require_pretrained_embeddings)
+            datasets.append(PreprocessedDataset(samples, mode="multimodal"))
         return datasets
 
     return (

@@ -144,6 +144,7 @@ def train_and_evaluate(
     augment_splits: set[str],
     pretrained_dir: str | None,
     mesh=None,
+    require_pretrained_text: bool = False,
 ) -> dict:
     """One sweep trial: train, restore best, evaluate on test, log, clean up.
 
@@ -165,6 +166,7 @@ def train_and_evaluate(
         context_len=forecast_config.context_len,
         horizon_len=forecast_config.horizon_len,
         cache_dir=cache_dir,
+        require_pretrained_embeddings=require_pretrained_text,
     )
 
     adapter = build_adapter(model_config, pretrained_dir)

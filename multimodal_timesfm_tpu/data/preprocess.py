@@ -51,7 +51,18 @@ class PreprocessPipeline:
             parts.append("aug")
         return self.cache_dir / ("_".join(parts) + ".pkl")
 
-    def load(self, path: Path) -> list[PreprocessedSample]:
+    def load(
+        self, path: Path, require_pretrained_embeddings: bool = False
+    ) -> list[PreprocessedSample]:
+        """Load a cache file.
+
+        Embedding provenance: caches built from a pretrained sentence-encoder
+        snapshot are stamped ``is_pretrained=True`` in each sample's metadata
+        (see ``_preprocess``); caches built with the random-weights/hash
+        fallback are stamped False and loading them WARNS loudly. Pass
+        ``require_pretrained_embeddings=True`` to refuse such caches — any
+        eval meant for comparison against the reference should.
+        """
         _logger.info("Loading preprocessed data from %s", path)
         if not path.exists():
             raise FileNotFoundError(
@@ -62,6 +73,22 @@ class PreprocessPipeline:
         with open(path, "rb") as f:
             data: list[PreprocessedSample] = pickle.load(f)
         _logger.info("Loaded %s samples", len(data))
+
+        provenance = next(
+            (s["metadata"].get("text_encoder") for s in data if "metadata" in s), None
+        )
+        if provenance is not None and not provenance.get("is_pretrained", True):
+            message = (
+                f"{path.name} was built WITHOUT pretrained text-encoder weights "
+                f"(encoder={provenance.get('encoder')}): embeddings are "
+                "pipeline-functional but not parity-grade."
+            )
+            if require_pretrained_embeddings:
+                raise ValueError(
+                    message + " Rebuild the cache with --text-model-dir pointing "
+                    "at a local snapshot (docs/PRETRAINED.md)."
+                )
+            _logger.warning(message)
         return data
 
     def _save(self, path: Path, data: list[PreprocessedSample]) -> None:
@@ -98,6 +125,15 @@ class PreprocessPipeline:
             if text_encoder is not None:
                 texts = [" ".join(patch) if patch else "" for patch in sample["patched_texts"]]
                 entry["text_embeddings"] = np.asarray(text_encoder(texts), np.float32)
+                # Stamp embedding provenance so downstream loads can warn on /
+                # refuse hash-fallback (non-pretrained) embeddings. Extra
+                # metadata keys keep the pickle reference-interchangeable.
+                entry["metadata"] = dict(entry["metadata"]) | {
+                    "text_encoder": {
+                        "encoder": type(text_encoder).__name__,
+                        "is_pretrained": bool(getattr(text_encoder, "is_pretrained", True)),
+                    }
+                }
             result.append(entry)
             if (i + 1) % 100 == 0:
                 _logger.info("Preprocessed %s/%s samples", i + 1, len(dataset))

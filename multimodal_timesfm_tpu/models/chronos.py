@@ -19,11 +19,13 @@ config): model_dim 768, 16 layers, 12 heads, ffn 3072, patch 16/16, 9 decile
 quantiles (0.5 at index 4 = ``point_forecast_index``, matching the
 reference's ``quantiles.index(0.5)`` at ``chronos.py:33``).
 
-Group semantics: the adapter always passes ``group_ids = arange(B)``
-(``chronos.py:117``), i.e. every sample is its own attention group. This
-implementation enforces exactly that contract (per-row bidirectional
-attention with key-padding masks); packed multi-variate grouping is a
-documented extension point.
+Group semantics: the reference adapter always passes ``group_ids =
+arange(B)`` (``chronos.py:117``), i.e. every sample is its own attention
+group — the default here (per-row bidirectional attention with key-padding
+masks) is exactly that contract. ``Chronos2Adapter.forward(..., pack=k)``
+additionally exposes the underlying grouping mechanism: k series packed into
+one encoder row as k attention segments, numerically identical to per-row
+attention (see ``forward`` docstring and ``tests/test_chronos.py``).
 
 Adapter semantics parity (reference ``chronos.py:35-169``):
   * preprocess flips masks to Chronos convention (1.0 = valid), returns
@@ -58,12 +60,15 @@ class Chronos2Config:
     Fine-tuning efficiency note: the encoder always processes
     ``max_output_patches`` future-patch queries (reference behavior,
     ``chronos.py:78-99``). The output head's weights are shared across patch
-    positions (positions are distinguished only by time encodings), so
-    setting ``max_output_patches = ceil(horizon / output_patch_size)`` for a
-    fixed-horizon fine-tune is weight-compatible with the pretrained
-    checkpoint and cuts encoder work substantially for short horizons —
-    measured 7.4x training throughput on v5e for the horizon-32 workload
-    (17.7k series/s at mop=2 vs 2.4k at the default 64).
+    positions, so setting ``max_output_patches = ceil(horizon /
+    output_patch_size)`` for a fixed-horizon fine-tune still LOADS the
+    pretrained weights and cuts encoder work substantially — measured 7.4x
+    training throughput on v5e at horizon 32 (17.7k series/s at mop=2 vs
+    2.4k at the default 64). It is NOT checkpoint-equivalent, though: the
+    dropped future patches were bidirectional-attention keys, so outputs
+    differ from the checkpoint's default behavior. Parity evals must pin mop
+    to the checkpoint's own value — see PARITY.md "max_output_patches
+    semantics" and the differing-outputs test in ``tests/test_chronos.py``.
     """
 
     model_dim: int = 768
@@ -320,10 +325,30 @@ class Chronos2Adapter(TsfmAdapter):
             normalization_stats={"loc": loc, "scale": scale},
         )
 
-    def forward(self, params: Params, input_embeddings: jax.Array, masks: jax.Array) -> jax.Array:
+    def forward(
+        self,
+        params: Params,
+        input_embeddings: jax.Array,
+        masks: jax.Array,
+        *,
+        pack: int = 1,
+    ) -> jax.Array:
         """Append [REG] + zero future patches, run the encoder (reference ``chronos.py:62-126``).
 
         ``masks`` here is the per-patch bool mask from preprocess (True = padded).
+
+        ``pack`` exposes the encoder's ``group_ids`` attention-grouping: with
+        ``pack=k``, groups of ``k`` consecutive batch rows are packed into one
+        encoder row as ``k`` segments (each segment the full per-series
+        ``[ctx, REG, future]`` sequence) and tokens attend only within their
+        segment. The default ``pack=1`` is exactly the reference adapter's
+        ``group_ids=arange(B)`` contract (``chronos.py:117-123``): every
+        series its own attention group. Because the T5 relative-position bias
+        depends only on position differences and each segment occupies
+        contiguous positions, packed attention is numerically identical to
+        per-row attention (tested in ``tests/test_chronos.py``) — packing
+        just trades batch dim for sequence dim, which on TPU turns many short
+        attention problems into fewer MXU-friendlier ones.
         """
         cfg = self.config
         batch = input_embeddings.shape[0]
@@ -357,8 +382,23 @@ class Chronos2Adapter(TsfmAdapter):
             embeds = jnp.concatenate([input_embeddings, future_embeds], axis=-2)
             attention_mask = jnp.concatenate([attention_mask, future_mask], axis=-1)
 
-        hidden = chronos_encoder(params["encoder"], cfg, embeds, attention_mask)
-        return hidden[:, -n_out:]
+        if pack == 1:
+            hidden = chronos_encoder(params["encoder"], cfg, embeds, attention_mask)
+            return hidden[:, -n_out:]
+
+        if batch % pack != 0:
+            raise ValueError(f"batch ({batch}) must be divisible by pack ({pack})")
+        groups, seq = batch // pack, embeds.shape[1]
+        packed = embeds.reshape(groups, pack * seq, cfg.model_dim)
+        packed_mask = attention_mask.reshape(groups, pack * seq)
+        segment_ids = jnp.broadcast_to(
+            jnp.repeat(jnp.arange(pack, dtype=jnp.int32), seq)[None], (groups, pack * seq)
+        )
+        hidden = chronos_encoder(
+            params["encoder"], cfg, packed, packed_mask, segment_ids=segment_ids
+        )
+        hidden = hidden.reshape(groups, pack, seq, cfg.model_dim)[:, :, -n_out:, :]
+        return hidden.reshape(batch, n_out, cfg.model_dim)
 
     def postprocess(
         self,

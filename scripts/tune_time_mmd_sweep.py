@@ -52,6 +52,12 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--offline", action="store_true", help="Force the local sweep engine.")
     parser.add_argument("--output-dir", type=str, default=None)
     parser.add_argument("--seed", type=int)
+    parser.add_argument(
+        "--require-pretrained-text",
+        action="store_true",
+        help="Refuse embedding caches built without pretrained text-encoder "
+        "weights (parity-grade evals should set this; see docs/PRETRAINED.md).",
+    )
     return parser.parse_args()
 
 
@@ -95,6 +101,7 @@ def main(mode: str = MODE) -> int:
             augment_splits=augment_splits,
             pretrained_dir=args.pretrained_dir,
             mesh=mesh,
+            require_pretrained_text=args.require_pretrained_text,
         )
 
     wandb = None if args.offline else try_import_wandb()

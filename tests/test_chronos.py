@@ -133,3 +133,62 @@ def test_segment_packing_isolates_groups(adapter, params):
     out_c = chronos_encoder(params["encoder"], adapter.config, x, mask)
     out_d = chronos_encoder(params["encoder"], adapter.config, x2, mask)
     assert not np.allclose(np.asarray(out_c[:, :4]), np.asarray(out_d[:, :4]), atol=1e-5)
+
+
+def test_packed_forward_equals_per_row(adapter, params):
+    """pack=k through the adapter is numerically identical to per-row attention.
+
+    This is the upstream ``group_ids`` contract made real: each series is its
+    own attention group whether it occupies its own row (reference
+    ``chronos.py:117-123``, our default) or a segment of a packed row.
+    """
+    rng = np.random.default_rng(7)
+    inputs = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    masks = jnp.zeros((4, 16), bool).at[3, :8].set(True)  # one partially padded row
+
+    pre = adapter.preprocess(params, inputs, masks)
+    per_row = adapter.forward(params, pre.input_embeddings, pre.masks)
+    packed2 = adapter.forward(params, pre.input_embeddings, pre.masks, pack=2)
+    packed4 = adapter.forward(params, pre.input_embeddings, pre.masks, pack=4)
+
+    np.testing.assert_allclose(np.asarray(packed2), np.asarray(per_row), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(packed4), np.asarray(per_row), atol=1e-5)
+
+
+def test_packed_forward_validates_divisibility(adapter, params):
+    pre = adapter.preprocess(params, jnp.ones((3, 16)), jnp.zeros((3, 16), bool))
+    with pytest.raises(ValueError, match="divisible"):
+        adapter.forward(params, pre.input_embeddings, pre.masks, pack=2)
+
+
+def test_max_output_patches_changes_numerics_vs_checkpoint_default():
+    """mop is a fine-tune-time speed knob, NOT checkpoint-equivalent.
+
+    With bidirectional attention the dropped future patches were attention
+    keys for the kept ones, so shrinking ``max_output_patches`` changes the
+    outputs even on shared weights. Parity evals against a pretrained
+    checkpoint must pin mop to the checkpoint's own value (PARITY.md
+    "max_output_patches semantics"; reference always runs all future patches,
+    ``chronos.py:78-99``).
+    """
+    import dataclasses
+
+    cfg_full = Chronos2Config.tiny()  # mop=4
+    cfg_short = dataclasses.replace(cfg_full, max_output_patches=2)
+    a_full = Chronos2Adapter(cfg_full)
+    a_short = Chronos2Adapter(cfg_short)
+    shared = a_full.init(jax.random.key(1))  # params are mop-independent
+
+    rng = np.random.default_rng(11)
+    inputs = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    masks = jnp.zeros((2, 16), bool)
+    horizon = 8  # <= both mop * output_patch_size
+
+    def run(adapter):
+        pre = adapter.preprocess(shared, inputs, masks)
+        hidden = adapter.forward(shared, pre.input_embeddings, pre.masks)
+        return adapter.postprocess(shared, horizon, hidden, pre.normalization_stats)
+
+    out_full, out_short = np.asarray(run(a_full)), np.asarray(run(a_short))
+    assert out_full.shape == out_short.shape == (2, horizon, 9)
+    assert not np.allclose(out_full, out_short, atol=1e-4)

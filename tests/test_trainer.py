@@ -229,8 +229,14 @@ def test_empty_dataset_raises(tmp_path, mesh):
         )
 
 
-def test_host_materialized_path_matches_device_resident(tmp_path, mesh):
-    """Forcing the big-dataset fallback must produce identical training results."""
+@pytest.mark.parametrize("with_mesh", [True, False], ids=["mesh", "no-mesh"])
+def test_host_materialized_path_matches_device_resident(tmp_path, mesh, with_mesh):
+    """Forcing the big-dataset fallback must produce identical training results.
+
+    Parametrized over mesh/no-mesh: the mesh case exercises the
+    ``(None, None, "data")`` batch-sharded device_put in
+    ``trainer._materialize`` on the 8-device virtual mesh.
+    """
     samples = _make_samples(20, 11, with_text=True)
     val = _make_samples(8, 12, with_text=True)
 
@@ -244,7 +250,7 @@ def test_host_materialized_path_matches_device_resident(tmp_path, mesh):
             train_dataset=PreprocessedDataset(samples, "multimodal"),
             val_dataset=PreprocessedDataset(val, "multimodal"),
             mode="multimodal",
-            mesh=mesh,
+            mesh=mesh if with_mesh else None,
             max_device_dataset_bytes=max_bytes,
         )
         losses = [trainer.train_epoch() for _ in range(2)]
