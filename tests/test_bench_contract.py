@@ -1,0 +1,71 @@
+"""bench.py contract tests: the driver consumes its single JSON stdout line.
+
+Runs the tiny-geometry headline in a subprocess (CPU) and checks the JSON
+schema; unit-tests the analytic FLOPs estimators against hand-derived values.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+from multimodal_timesfm_tpu.models.chronos import Chronos2Config  # noqa: E402
+from multimodal_timesfm_tpu.models.timesfm import TimesFMConfig  # noqa: E402
+
+
+def test_timesfm_flops_estimate_matches_hand_derivation():
+    # 200M geometry at context 32 (1 patch token), multimodal training:
+    # fwd ~ 0.407 GFLOP -> x2 for the frozen-backbone input-grad path.
+    cfg = TimesFMConfig()
+    flops = bench.timesfm_flops_per_series(cfg, 32, "multimodal")
+    assert 0.8e9 < flops < 0.85e9
+    # baseline adds the dW matmuls (~3x fwd)
+    assert bench.timesfm_flops_per_series(cfg, 32, "baseline") > flops
+    # 16x the tokens -> at least 16x the matmul FLOPs (attention adds more)
+    assert bench.timesfm_flops_per_series(cfg, 512, "multimodal") > 16 * flops * 0.99
+
+
+def test_chronos_flops_estimate_scales_with_mop():
+    import dataclasses
+
+    cfg = Chronos2Config()
+    full = bench.chronos_flops_per_series(cfg, 32, "multimodal")
+    short = bench.chronos_flops_per_series(
+        dataclasses.replace(cfg, max_output_patches=2), 32, "multimodal"
+    )
+    assert full > 5 * short  # mop 64 -> 2 cuts the token count ~13x
+
+
+def test_workload_table_includes_attention_regimes():
+    assert bench.HEADLINE in bench.WORKLOADS
+    contexts = {bench.WORKLOADS[n][1] for n in bench.WORKLOADS if n.startswith("timesfm")}
+    assert {32, 512, 2048} <= contexts  # >=256 patch-token regime engages Pallas
+    assert any(bench.WORKLOADS[n][0] == "chronos" for n in bench.WORKLOADS)
+
+
+def test_bench_headline_json_contract():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--tiny", "--workloads", "headline"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"bench must print exactly ONE stdout line, got: {lines}"
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "timemmd_multimodal_finetune_series_per_sec"
+    assert payload["unit"] == "series/sec"
+    assert payload["value"] > 0
+    assert "torch-CPU mirror" in payload["baseline_kind"]
+    assert "flops_per_series" in payload and payload["flops_per_series"] > 0
+    assert "mfu" in payload and "workloads" in payload
