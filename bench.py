@@ -124,6 +124,7 @@ def build_trainer(
     epochs: int,
     tiny: bool = False,
     dtype: str = "bfloat16",
+    mode: str = "multimodal",
 ):
     import jax
     import jax.numpy as jnp
@@ -189,9 +190,13 @@ def build_trainer(
         args=args,
         train_dataset=data,
         val_dataset=val,
-        mode="multimodal",
+        mode=mode,
         mesh=mesh,
-        frozen_cast_dtype=compute_dtype if compute_dtype != jnp.float32 else None,
+        # In baseline mode the backbone is the TRAINED subtree (fp32 master
+        # weights required); only freeze-cast in multimodal mode.
+        frozen_cast_dtype=compute_dtype
+        if (compute_dtype != jnp.float32 and mode == "multimodal")
+        else None,
     )
     return trainer, cfg
 
@@ -200,26 +205,41 @@ def build_trainer(
 # workload definitions
 # ---------------------------------------------------------------------------
 
-# name -> (backbone, context, horizon, batch, samples, epochs)
-WORKLOADS: dict[str, tuple[str, int, int, int, int, int]] = {
+# name -> (backbone, context, horizon, batch, samples, epochs, mode)
+WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Headline: the reference-default geometry (1 patch token).
-    "timesfm_mm_c32": ("timesfm", 32, 32, 1024, 16384, 3),
+    "timesfm_mm_c32": ("timesfm", 32, 32, 1024, 16384, 3, "multimodal"),
+    # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
+    # the epoch is dominated by AdamW update HBM traffic (~200M params x
+    # grads+m+v+p fp32 per optimizer step), so fewer/bigger steps win.
+    "timesfm_baseline_c32": ("timesfm", 32, 32, 1024, 8192, 2, "baseline"),
     # Attention-relevant regimes: 16 and 64 patch tokens.
-    "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2),
-    "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2),
+    "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2, "multimodal"),
+    "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2, "multimodal"),
     # Chronos-2 at the checkpoint-default max_output_patches=64 (the
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
-    "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2),
+    "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2, "multimodal"),
 }
 HEADLINE = "timesfm_mm_c32"
 
 
-def run_workload(name: str, tiny: bool, dtype: str, profile_dir: str | None = None) -> dict:
-    backbone, context, horizon, batch, samples, epochs = WORKLOADS[name]
+def run_workload(
+    name: str,
+    tiny: bool,
+    dtype: str,
+    profile_dir: str | None = None,
+    batch_override: int | None = None,
+    samples_override: int | None = None,
+) -> dict:
+    backbone, context, horizon, batch, samples, epochs, mode = WORKLOADS[name]
     if tiny:
         batch, samples, epochs, context, horizon = 8, 32, 1, 32, 8
-    _log(f"[bench] {name}: building trainer (context={context}, batch={batch})")
-    trainer, cfg = build_trainer(backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype)
+    batch = batch_override or batch
+    samples = samples_override or samples
+    _log(f"[bench] {name}: building trainer (context={context}, batch={batch}, mode={mode})")
+    trainer, cfg = build_trainer(
+        backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype, mode
+    )
 
     _log(f"[bench] {name}: warmup (compile)")
     trainer.train_epoch()
@@ -238,7 +258,7 @@ def run_workload(name: str, tiny: bool, dtype: str, profile_dir: str | None = No
     series_per_sec = total_series / elapsed
 
     flops_fn = timesfm_flops_per_series if backbone == "timesfm" else chronos_flops_per_series
-    flops = flops_fn(cfg, context, "multimodal")
+    flops = flops_fn(cfg, context, mode)
     peak = peak_flops_per_sec()
     mfu = (series_per_sec * flops / peak) if peak else None
     result = {
@@ -313,6 +333,8 @@ def main() -> int:
         help=f"comma-separated subset of {list(WORKLOADS)} , 'headline', or 'all'",
     )
     parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    parser.add_argument("--batch-size", type=int, help="Override every workload's batch size.")
+    parser.add_argument("--num-samples", type=int, help="Override every workload's sample count.")
     parser.add_argument("--tiny", action="store_true", help="Tiny models (debug/CI)")
     parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here.")
     parser.add_argument(
@@ -335,20 +357,23 @@ def main() -> int:
         unknown = set(names) - set(WORKLOADS)
         if unknown:
             parser.error(f"unknown workloads: {sorted(unknown)}")
-    if HEADLINE not in names:
-        names.insert(0, HEADLINE)
 
     results = {}
     for name in names:
         try:
-            results[name] = run_workload(name, args.tiny, args.dtype, args.profile_dir)
-        except Exception as exc:  # a non-headline failure must not kill the artifact
-            if name == HEADLINE:
+            results[name] = run_workload(
+                name, args.tiny, args.dtype, args.profile_dir, args.batch_size, args.num_samples
+            )
+        except Exception as exc:  # a secondary failure must not kill the artifact
+            if name == names[0]:
                 raise
             _log(f"[bench] {name} FAILED: {exc}")
             results[name] = {"name": name, "error": str(exc)[:300]}
 
-    headline = results[HEADLINE]
+    # The reported metric is the headline when it ran (the default / driver
+    # path), else the first explicitly requested workload.
+    lead = HEADLINE if HEADLINE in results else names[0]
+    headline = results[lead]
 
     baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
     vs_baseline = None
@@ -360,15 +385,19 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "timemmd_multimodal_finetune_series_per_sec",
+                "metric": "timemmd_multimodal_finetune_series_per_sec"
+                if lead == HEADLINE
+                else f"timemmd_{lead}_series_per_sec",
                 "value": headline["series_per_sec"],
                 "unit": "series/sec",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline": round(vs_baseline, 2)
+                if (vs_baseline and lead == HEADLINE)
+                else None,
                 "baseline_kind": "1-core torch-CPU mirror of the architecture "
                 "(tests/torch_reference.py); upstream reference stack unavailable offline",
                 "mfu": headline["mfu"],
                 "flops_per_series": headline["flops_per_series"],
-                "workloads": [results[n] for n in names if n != HEADLINE],
+                "workloads": [results[n] for n in names if n != lead],
             }
         )
     )
