@@ -82,9 +82,11 @@ def build_adapter(model_config: ModelConfig, pretrained_dir: str | None) -> Tsfm
     defaults. The reference gets the middle tier from HF config classes
     (``/root/reference/src/tsfmx/tsfm/chronos.py:192``).
     """
-    from multimodal_timesfm_tpu.models.snapshot import read_hf_config
+    from multimodal_timesfm_tpu.models.snapshot import read_hf_config, resolve_snapshot_dir
 
     arch = dict(model_config.adapter.arch)
+    if pretrained_dir is not None:
+        pretrained_dir = str(resolve_snapshot_dir(pretrained_dir))  # accepts HF repo ids
     hf = read_hf_config(pretrained_dir) if pretrained_dir and Path(pretrained_dir).is_dir() else None
     if model_config.adapter.type == "timesfm":
         base = TimesFM2p5Adapter.config_from_hf(hf) if hf else TimesFMConfig()
@@ -110,7 +112,9 @@ def init_decoder_params(decoder: MultimodalDecoder, pretrained_dir: str | None, 
     params = decoder.init(jax.random.key(seed))
     if pretrained_dir is not None:
         from multimodal_timesfm_tpu.models.convert import load_backbone_checkpoint
+        from multimodal_timesfm_tpu.models.snapshot import resolve_snapshot_dir
 
+        pretrained_dir = resolve_snapshot_dir(pretrained_dir)
         params["adapter"] = load_backbone_checkpoint(Path(pretrained_dir), decoder.adapter)
         _logger.info("Loaded pretrained backbone from %s", pretrained_dir)
     else:

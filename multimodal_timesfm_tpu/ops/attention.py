@@ -202,10 +202,11 @@ def supports_pallas(seq: int, dim: int) -> bool:
     """Size gate for the whole-sequence kernels, set by v5e measurements.
 
     Lower bound: the per-(batch*head) program does tiny matmuls at small S,
-    where XLA's batched attention GEMMs win — measured end-to-end training
-    throughput on v5e (TimesFM 200M, bf16): S=64 XLA 1.3x faster; S=128 XLA
-    1.28x faster; S=256 pallas 1.06x; S=512 pallas 1.9x. Crossover sits
-    between 128 and 256.
+    where XLA's batched attention GEMMs win. Reproduce the crossover with
+    ``python bench.py --attention-bench`` (fwd+bwd micro-bench, v5e bf16):
+    S=64 pallas 0.68x (XLA wins), S=256 1.02x, S=512 1.06x, S=1024 2.19x.
+    End-to-end training measurements (TimesFM 200M) showed the same shape
+    with a larger S=512 win (1.9x). Crossover sits between 128 and 256.
 
     Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
     S=1024 compiles on v5e, S=2048 does not.

@@ -179,7 +179,16 @@ class JapaneseTextEncoder(TextEncoderBase):
 
 
 def build_text_encoder(text_encoder_type: str, model_dir: Path | str | None = None) -> TextEncoderBase:
-    """Factory keyed like the reference scripts (``cache_time_mmd_datasets.py:63-88``)."""
+    """Factory keyed like the reference scripts (``cache_time_mmd_datasets.py:63-88``).
+
+    ``model_dir`` may also be an HF repo id (e.g.
+    ``sentence-transformers/all-MiniLM-L6-v2``), resolved against local
+    snapshot caches — see ``models/snapshot.py``.
+    """
+    if model_dir is not None:
+        from multimodal_timesfm_tpu.models.snapshot import resolve_snapshot_dir
+
+        model_dir = resolve_snapshot_dir(model_dir)
     if text_encoder_type == "english":
         return EnglishTextEncoder(model_dir)
     if text_encoder_type == "japanese":

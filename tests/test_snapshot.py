@@ -238,3 +238,22 @@ def test_english_encoder_geometry_from_config_json(tmp_path):
     out = enc(["the a", "a"])
     assert out.shape == (2, cfg.hidden_size)
     assert np.all(np.isfinite(out))
+
+
+def test_build_adapter_accepts_repo_id(tmp_path, monkeypatch):
+    """CLI --pretrained-dir accepts an HF repo id when a local snapshot exists."""
+    from examples.time_mmd.configs.model import AdapterConfig, FusionConfig, ModelConfig
+    from examples.time_mmd.sweep_lib import build_adapter
+
+    root = tmp_path / "snaps"
+    target = root / "amazon" / "chronos-2"
+    target.mkdir(parents=True)
+    (target / "config.json").write_text(json.dumps(TINY_CHRONOS_HF))
+    monkeypatch.setenv("MULTIMODAL_TIMESFM_SNAPSHOTS", str(root))
+
+    model_config = ModelConfig(
+        adapter=AdapterConfig(type="chronos", patch_len=4, arch={}),
+        fusion=FusionConfig(text_encoder_type="english", text_embedding_dims=384),
+    )
+    adapter = build_adapter(model_config, "amazon/chronos-2")
+    assert adapter.config.model_dim == 32
