@@ -342,6 +342,14 @@ def main() -> int:
         action="store_true",
         help="Micro-benchmark Pallas vs XLA attention instead of the training workloads.",
     )
+    parser.add_argument(
+        "--budget-seconds",
+        type=float,
+        default=2400.0,
+        help="Stop launching new (non-headline) workloads past this wall-clock "
+        "budget — remote TPU compiles have minutes-scale variance and the "
+        "headline artifact must always land. Skips are logged, never silent.",
+    )
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -359,7 +367,12 @@ def main() -> int:
             parser.error(f"unknown workloads: {sorted(unknown)}")
 
     results = {}
+    bench_t0 = time.perf_counter()
     for name in names:
+        if name != names[0] and time.perf_counter() - bench_t0 > args.budget_seconds:
+            _log(f"[bench] {name} SKIPPED: wall-clock budget ({args.budget_seconds}s) exhausted")
+            results[name] = {"name": name, "skipped": "wall-clock budget exhausted"}
+            continue
         try:
             results[name] = run_workload(
                 name, args.tiny, args.dtype, args.profile_dir, args.batch_size, args.num_samples
