@@ -152,7 +152,9 @@ def causal_attention(
         (B, N, D).
     """
     from multimodal_timesfm_tpu.ops.attention import (
+        flash_causal_attention,
         fused_causal_attention,
+        supports_flash,
         supports_pallas,
         xla_causal_attention,
     )
@@ -171,6 +173,8 @@ def causal_attention(
         key_valid = ~paddings  # (B, N)
         if supports_pallas(seq, head_dim):
             out = fused_causal_attention(q, k, v, key_valid)
+        elif supports_flash(seq, head_dim):
+            out = flash_causal_attention(q, k, v, key_valid)
         else:
             out = xla_causal_attention(q, k, v, key_valid)
     out = out.reshape(batch, seq, num_heads * head_dim).astype(x.dtype)

@@ -73,12 +73,24 @@ def resolve_snapshot_dir(path_or_repo: str | Path) -> Path:
                 return candidate
         folder = f"models--{org}--{name.replace('/', '--')}"
         for hub in _hub_cache_roots():
-            snaps = hub / folder / "snapshots"
+            base = hub / folder
+            snaps = base / "snapshots"
             searched.append(str(snaps))
-            if snaps.is_dir():
-                revs = [d for d in sorted(snaps.iterdir()) if _looks_like_snapshot(d)]
-                if revs:
-                    return max(revs, key=lambda d: d.stat().st_mtime)
+            if not snaps.is_dir():
+                continue
+            # Prefer the cache's own current-revision pointer when present.
+            ref = base / "refs" / "main"
+            if ref.exists():
+                pinned = snaps / ref.read_text().strip()
+                if pinned.is_dir() and _looks_like_snapshot(pinned):
+                    return pinned
+            # Otherwise prefer revisions that actually carry weights (an
+            # aborted download can leave a newer config-only revision).
+            revs = [d for d in sorted(snaps.iterdir()) if d.is_dir()]
+            with_weights = [d for d in revs if any((d / f).exists() for f in _WEIGHT_FILES)]
+            candidates = with_weights or [d for d in revs if _looks_like_snapshot(d)]
+            if candidates:
+                return max(candidates, key=lambda d: d.stat().st_mtime)
     raise FileNotFoundError(
         f"No local snapshot for {repo!r}. Searched: {searched}. Place an HF "
         f"snapshot (config.json + model.safetensors) in one of these, or set "
@@ -130,7 +142,10 @@ def timesfm_config_from_hf(hf: Mapping[str, Any], defaults=None):
         "ffn_dims": ("ffn_dims", "intermediate_size", "d_ff", "ffn_dim"),
         "num_layers": ("num_layers", "num_hidden_layers", "num_blocks"),
         "num_heads": ("num_heads", "num_attention_heads"),
-        "num_output_channels": ("num_output_channels", "num_quantiles"),
+        # NOTE: deliberately no "num_quantiles" alias here — TimesFM's channel
+        # count is point + quantiles, handled by the quantiles-list branch
+        # below; mapping num_quantiles directly would be off by one.
+        "num_output_channels": ("num_output_channels",),
         "decode_index": ("decode_index",),
         "quantile_horizon": ("quantile_horizon", "max_horizon"),
     }

@@ -16,8 +16,10 @@ Design:
 
 VMEM budget: the backward holds three (S, S) fp32 buffers (w, dw, dl), which
 caps the whole-sequence approach at S=1024 on v5e (verified: backward at
-1024 compiles, 2048 OOMs). ``supports_pallas`` enforces that cap; longer
-sequences take the XLA path until a tiled backward lands.
+1024 compiles, 2048 OOMs). ``supports_pallas`` enforces that cap. Beyond it,
+XLA carries S<=2048 and ``flash_causal_attention`` (tiled online-softmax
+kernels, ``supports_flash``) carries longer sequences — where XLA's O(S^2)
+logits would exhaust HBM — so there is no context cap at all.
 
 Used by ``models/layers.causal_attention`` when the sequence/tiling
 constraints hold; falls back to XLA otherwise.
@@ -196,6 +198,54 @@ def _bwd(interpret, residuals, g):
 
 
 fused_causal_attention.defvjp(_fwd, _bwd)
+
+
+def flash_causal_attention(q, k, v, key_valid, interpret=False):
+    """Tiled FlashAttention path for sequences beyond the whole-sequence cap.
+
+    Wraps JAX's Pallas TPU flash-attention kernels (tiled online-softmax
+    forward + recompute backward, ``jax.experimental.pallas.ops.tpu``) in
+    this module's calling convention: (B, S, H, D) with q pre-scaled and a
+    bool ``key_valid`` mask. Key-padding is expressed through segment ids
+    (padded tokens form their own segment, so valid queries never attend
+    them); fully-padded query rows produce garbage, same contract as the
+    whole-sequence kernels.
+
+    ``interpret=True`` covers only the forward call here — the custom-VJP
+    backward kernel is traced outside this function, so CPU tests that
+    differentiate must wrap the whole computation in
+    ``pltpu.force_tpu_interpret_mode()``.
+    """
+    import contextlib
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B, H, S, D)
+    seg = key_valid.astype(jnp.int32)  # valid=1, padded=0: cross-segment masked
+    ctx = pltpu.force_tpu_interpret_mode() if interpret else contextlib.nullcontext()
+    with ctx:
+        out = flash_attention(
+            qh, kh, vh, segment_ids=SegmentIds(q=seg, kv=seg), causal=True, sm_scale=1.0
+        )
+    return out.transpose(0, 2, 1, 3)
+
+
+def supports_flash(seq: int, dim: int) -> bool:
+    """Gate for the tiled flash path, set by v5e measurements.
+
+    At S=2048 XLA's batched GEMMs still win at realistic head counts (32.6ms
+    vs 46.3ms fwd+bwd at B=8/H=16/D=80 — the flash kernels lane-pad D=80 to
+    128), but beyond that XLA's O(S^2) logits materialization exhausts HBM
+    (S=4096 at B=8/H=16 needs 24.1G of 15.75G) while the tiled kernels run
+    fine (165.7ms). Block sizes need seq divisible by 128; dim follows the
+    same <=256 bound as the whole-sequence kernels.
+    """
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return seq > 2048 and seq % 128 == 0 and dim <= 256
 
 
 def supports_pallas(seq: int, dim: int) -> bool:

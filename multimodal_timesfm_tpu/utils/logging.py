@@ -39,8 +39,8 @@ def setup_logger(
     logger = logging.getLogger(name)
     formatter = logging.Formatter(fmt)
 
+    logger.setLevel(level)  # honored on reconfiguration too
     if not getattr(logger, _CONFIGURED_FLAG, False):
-        logger.setLevel(level)
         stream = logging.StreamHandler(sys.stderr)
         stream.setFormatter(formatter)
         logger.addHandler(stream)
@@ -61,6 +61,12 @@ def setup_logger(
 
 
 def get_logger(child: str | None = None) -> logging.Logger:
-    """Return the framework root logger (configuring it on first use), or a child of it."""
-    root = setup_logger()
+    """Return the framework root logger, or a child of it.
+
+    Does NOT attach handlers — library imports must not configure logging
+    (standard library-consumer etiquette; messages propagate to whatever the
+    application configures). Scripts call :func:`setup_logger` for the
+    default stderr handler.
+    """
+    root = logging.getLogger(ROOT_NAME)
     return root.getChild(child) if child else root

@@ -68,3 +68,62 @@ def test_supports_pallas_gates():
     assert not supports_pallas(1, 80)
     assert not supports_pallas(17, 80)
     assert not supports_pallas(2048, 80)  # backward VMEM cap
+
+
+def test_flash_matches_xla_forward_interpret():
+    """Tiled flash path (interpret mode) matches XLA on a padded batch.
+
+    Flash block sizes need seq >= 128; padding enters via segment ids, so
+    valid queries must agree with the XLA mask exactly. Padded-QUERY rows are
+    garbage by contract and excluded from the comparison.
+    """
+    from multimodal_timesfm_tpu.ops.attention import flash_causal_attention
+
+    rng = np.random.default_rng(7)
+    batch, seq, heads, dim = 2, 256, 2, 128
+    q = jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), jnp.float32) * 0.1
+    k = jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), jnp.float32)
+    valid = jnp.ones((batch, seq), bool).at[1, :64].set(False)  # left-padded row
+
+    out_flash = flash_causal_attention(q, k, v, valid, interpret=True)
+    out_xla = xla_causal_attention(q, k, v, valid)
+    mask = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out_flash) * mask, np.asarray(out_xla) * mask, atol=2e-5
+    )
+
+
+def test_flash_gradients_match_xla_interpret():
+    from multimodal_timesfm_tpu.ops.attention import flash_causal_attention
+
+    rng = np.random.default_rng(9)
+    batch, seq, heads, dim = 1, 128, 2, 128
+    q = jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), jnp.float32) * 0.1
+    k = jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), jnp.float32)
+    valid = jnp.ones((batch, seq), bool)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v, valid) ** 2), argnums=(0, 1, 2)
+        )
+
+    # The custom-VJP backward kernel is traced outside the wrapper's own
+    # interpret context, so on CPU the whole grad computation must run under
+    # force_tpu_interpret_mode.
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = loss(flash_causal_attention)(q, k, v)
+    g_xla = loss(xla_causal_attention)(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_supports_flash_gates():
+    # CPU backend in tests -> always False; shape logic still exercised.
+    from multimodal_timesfm_tpu.ops.attention import supports_flash
+
+    assert not supports_flash(2048, 80)  # XLA still faster there
+    assert not supports_flash(4096, 80)  # false only because backend is CPU

@@ -257,3 +257,25 @@ def test_build_adapter_accepts_repo_id(tmp_path, monkeypatch):
     )
     adapter = build_adapter(model_config, "amazon/chronos-2")
     assert adapter.config.model_dim == 32
+
+
+def test_hub_cache_prefers_weighted_revision_and_refs_main(tmp_path, monkeypatch):
+    hub = tmp_path / "hub"
+    base = hub / "models--org--m"
+    old = base / "snapshots" / "aaa"
+    new = base / "snapshots" / "bbb"
+    old.mkdir(parents=True)
+    new.mkdir(parents=True)
+    (old / "config.json").write_text("{}")
+    (old / "model.safetensors").write_bytes(b"x")
+    (new / "config.json").write_text("{}")  # aborted download: config only, newer mtime
+    import os
+
+    os.utime(old, (1, 1))
+    monkeypatch.setenv("HF_HUB_CACHE", str(hub))
+    assert resolve_snapshot_dir("org/m") == old  # weights win over newer config-only
+
+    (base / "refs").mkdir()
+    (base / "refs" / "main").write_text("bbb")
+    (new / "model.safetensors").write_bytes(b"y")
+    assert resolve_snapshot_dir("org/m") == new  # refs/main pointer wins once usable
