@@ -63,6 +63,9 @@ class TimesFMConfig:
     use_quantile_head: bool = False
     quantile_horizon: int = 1024
     compute_dtype: Any = jnp.float32
+    # lax.scan unroll over the layer stack: >1 lets XLA fuse across layer
+    # boundaries at higher compile cost (compile time scales with unroll).
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -179,6 +182,7 @@ class TimesFM2p5Adapter(TsfmAdapter):
             per_patch_mask,
             cfg.num_heads,
             cfg.head_dim,
+            unroll=cfg.scan_unroll,
         )
 
     def postprocess(
