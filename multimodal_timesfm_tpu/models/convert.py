@@ -80,72 +80,113 @@ def convert_safetensors(sd: dict[str, np.ndarray], adapter: TsfmAdapter) -> Para
     raise NotImplementedError(type(adapter).__name__)
 
 
-# Rules: (template-path regex) -> (upstream name template, transform)
-# {i} in the upstream template is the stacked-layer index. Transforms:
-#   "t"  transpose last two dims (torch Linear weight -> kernel)
-#   ""   as-is
-TIMESFM_NAME_RULES: list[tuple[str, str, str]] = [
-    (r"tokenizer/hidden/kernel", "tokenizer.hidden_layer.0.weight", "t"),
-    (r"tokenizer/hidden/bias", "tokenizer.hidden_layer.0.bias", ""),
-    (r"tokenizer/output/kernel", "tokenizer.output_layer.weight", "t"),
-    (r"tokenizer/output/bias", "tokenizer.output_layer.bias", ""),
-    (r"tokenizer/residual/kernel", "tokenizer.residual_layer.weight", "t"),
-    (r"tokenizer/residual/bias", "tokenizer.residual_layer.bias", ""),
-    (r"stacked_xf/attn_norm/scale", "stacked_xf.{i}.input_layernorm.weight", ""),
-    (r"stacked_xf/attn/qkv/kernel", "stacked_xf.{i}.self_attn.qkv_proj.weight", "t"),
-    (r"stacked_xf/attn/qkv/bias", "stacked_xf.{i}.self_attn.qkv_proj.bias", ""),
-    (r"stacked_xf/attn/out/kernel", "stacked_xf.{i}.self_attn.o_proj.weight", "t"),
-    (r"stacked_xf/attn/out/bias", "stacked_xf.{i}.self_attn.o_proj.bias", ""),
-    (r"stacked_xf/attn/per_dim_scale", "stacked_xf.{i}.self_attn.scaling", ""),
-    (r"stacked_xf/ffn_norm/scale", "stacked_xf.{i}.mlp.layer_norm.weight", ""),
-    (r"stacked_xf/ffn_norm/bias", "stacked_xf.{i}.mlp.layer_norm.bias", ""),
-    (r"stacked_xf/ffn_up/kernel", "stacked_xf.{i}.mlp.gate_proj.weight", "t"),
-    (r"stacked_xf/ffn_up/bias", "stacked_xf.{i}.mlp.gate_proj.bias", ""),
-    (r"stacked_xf/ffn_down/kernel", "stacked_xf.{i}.mlp.down_proj.weight", "t"),
-    (r"stacked_xf/ffn_down/bias", "stacked_xf.{i}.mlp.down_proj.bias", ""),
-    (r"output_projection_point/hidden/kernel", "output_projection_point.hidden_layer.0.weight", "t"),
-    (r"output_projection_point/hidden/bias", "output_projection_point.hidden_layer.0.bias", ""),
-    (r"output_projection_point/output/kernel", "output_projection_point.output_layer.weight", "t"),
-    (r"output_projection_point/output/bias", "output_projection_point.output_layer.bias", ""),
-    (r"output_projection_point/residual/kernel", "output_projection_point.residual_layer.weight", "t"),
-    (r"output_projection_point/residual/bias", "output_projection_point.residual_layer.bias", ""),
-    (r"output_projection_quantiles/hidden/kernel", "output_projection_quantiles.hidden_layer.0.weight", "t"),
-    (r"output_projection_quantiles/hidden/bias", "output_projection_quantiles.hidden_layer.0.bias", ""),
-    (r"output_projection_quantiles/output/kernel", "output_projection_quantiles.output_layer.weight", "t"),
-    (r"output_projection_quantiles/output/bias", "output_projection_quantiles.output_layer.bias", ""),
-    (r"output_projection_quantiles/residual/kernel", "output_projection_quantiles.residual_layer.weight", "t"),
-    (r"output_projection_quantiles/residual/bias", "output_projection_quantiles.residual_layer.bias", ""),
+# Rules: (template-path regex) -> list of upstream-name candidates, tried in
+# order: (name template, transform). {i} is the stacked-layer index; {p} in a
+# "split" transform expands to q/k/v. Transforms:
+#   "t"      transpose last two dims (torch Linear weight -> kernel)
+#   ""       as-is
+#   "rms"    RMSNorm scale with convention auto-detection: torch RMSNorms
+#            that store ``weight`` overwhelmingly compute ``weight * normed``
+#            (T5/LLaMA/HF-TimesFM), while the PAX lineage stores a zero-
+#            centered ``scale`` and computes ``(1 + scale) * normed`` (ours).
+#            A REAL checkpoint disambiguates by statistics: weight-convention
+#            tensors cluster around 1, scale-convention around 0 — if the
+#            mean exceeds 0.5 we subtract 1 (logged).
+#   "split_t"/"split_b"  gather separate {p}_proj q/k/v Linear weights/biases
+#            and concatenate into our fused qkv layout (out-dim order q;k;v,
+#            matching the (3, heads, head_dim) reshape in models/layers.py).
+# Inner ResidualBlock layer-name candidates cover both guessed ("hidden_layer
+# .0") and the HF-TimesFM-lineage names (input_layer/output_layer/
+# residual_layer — transformers/models/timesfm/modeling_timesfm.py, verified
+# wiring oracle in tests/test_hf_timesfm_oracle.py).
+
+
+def _residual_block_rules(ours: str, theirs: str) -> list[tuple[str, list[tuple[str, str]]]]:
+    def cands(inner: list[str], suffix: str, transform: str):
+        return [(f"{theirs}.{n}.{suffix}", transform) for n in inner]
+
+    hidden = ["hidden_layer.0", "input_layer", "hidden_layer"]
+    return [
+        (rf"{ours}/hidden/kernel", cands(hidden, "weight", "t")),
+        (rf"{ours}/hidden/bias", cands(hidden, "bias", "")),
+        (rf"{ours}/output/kernel", cands(["output_layer"], "weight", "t")),
+        (rf"{ours}/output/bias", cands(["output_layer"], "bias", "")),
+        (rf"{ours}/residual/kernel", cands(["residual_layer"], "weight", "t")),
+        (rf"{ours}/residual/bias", cands(["residual_layer"], "bias", "")),
+    ]
+
+
+TIMESFM_NAME_RULES: list[tuple[str, list[tuple[str, str]]]] = [
+    *_residual_block_rules("tokenizer", "tokenizer"),
+    (r"stacked_xf/attn_norm/scale", [("stacked_xf.{i}.input_layernorm.weight", "rms")]),
+    (
+        r"stacked_xf/attn/qkv/kernel",
+        [
+            ("stacked_xf.{i}.self_attn.qkv_proj.weight", "t"),
+            ("stacked_xf.{i}.self_attn.{p}_proj.weight", "split_t"),
+        ],
+    ),
+    (
+        r"stacked_xf/attn/qkv/bias",
+        [
+            ("stacked_xf.{i}.self_attn.qkv_proj.bias", ""),
+            ("stacked_xf.{i}.self_attn.{p}_proj.bias", "split_b"),
+        ],
+    ),
+    (r"stacked_xf/attn/out/kernel", [("stacked_xf.{i}.self_attn.o_proj.weight", "t")]),
+    (r"stacked_xf/attn/out/bias", [("stacked_xf.{i}.self_attn.o_proj.bias", "")]),
+    (r"stacked_xf/attn/per_dim_scale", [("stacked_xf.{i}.self_attn.scaling", "")]),
+    (r"stacked_xf/ffn_norm/scale", [("stacked_xf.{i}.mlp.layer_norm.weight", "")]),
+    (r"stacked_xf/ffn_norm/bias", [("stacked_xf.{i}.mlp.layer_norm.bias", "")]),
+    (r"stacked_xf/ffn_up/kernel", [("stacked_xf.{i}.mlp.gate_proj.weight", "t")]),
+    (r"stacked_xf/ffn_up/bias", [("stacked_xf.{i}.mlp.gate_proj.bias", "")]),
+    (r"stacked_xf/ffn_down/kernel", [("stacked_xf.{i}.mlp.down_proj.weight", "t")]),
+    (r"stacked_xf/ffn_down/bias", [("stacked_xf.{i}.mlp.down_proj.bias", "")]),
+    *_residual_block_rules("output_projection_point", "output_projection_point"),
+    *_residual_block_rules("output_projection_quantiles", "output_projection_quantiles"),
 ]
 
-CHRONOS_NAME_RULES: list[tuple[str, str, str]] = [
-    (r"input_patch_embedding/hidden/kernel", "input_patch_embedding.hidden_layer.weight", "t"),
-    (r"input_patch_embedding/hidden/bias", "input_patch_embedding.hidden_layer.bias", ""),
-    (r"input_patch_embedding/output/kernel", "input_patch_embedding.output_layer.weight", "t"),
-    (r"input_patch_embedding/output/bias", "input_patch_embedding.output_layer.bias", ""),
-    (r"input_patch_embedding/residual/kernel", "input_patch_embedding.residual_layer.weight", "t"),
-    (r"input_patch_embedding/residual/bias", "input_patch_embedding.residual_layer.bias", ""),
-    (r"shared", "shared.weight", ""),
-    (r"encoder/rel_pos_bias", "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight", ""),
-    (r"encoder/final_norm/scale", "encoder.final_layer_norm.weight", ""),
-    (r"encoder/layers/attn_norm/scale", "encoder.block.{i}.layer.0.layer_norm.weight", ""),
-    (r"encoder/layers/attn/q/kernel", "encoder.block.{i}.layer.0.SelfAttention.q.weight", "t"),
-    (r"encoder/layers/attn/k/kernel", "encoder.block.{i}.layer.0.SelfAttention.k.weight", "t"),
-    (r"encoder/layers/attn/v/kernel", "encoder.block.{i}.layer.0.SelfAttention.v.weight", "t"),
-    (r"encoder/layers/attn/out/kernel", "encoder.block.{i}.layer.0.SelfAttention.o.weight", "t"),
-    (r"encoder/layers/ffn_norm/scale", "encoder.block.{i}.layer.1.layer_norm.weight", ""),
-    (r"encoder/layers/ffn_up/kernel", "encoder.block.{i}.layer.1.DenseReluDense.wi.weight", "t"),
-    (r"encoder/layers/ffn_down/kernel", "encoder.block.{i}.layer.1.DenseReluDense.wo.weight", "t"),
-    (r"output_patch_embedding/hidden/kernel", "output_patch_embedding.hidden_layer.weight", "t"),
-    (r"output_patch_embedding/hidden/bias", "output_patch_embedding.hidden_layer.bias", ""),
-    (r"output_patch_embedding/output/kernel", "output_patch_embedding.output_layer.weight", "t"),
-    (r"output_patch_embedding/output/bias", "output_patch_embedding.output_layer.bias", ""),
-    (r"output_patch_embedding/residual/kernel", "output_patch_embedding.residual_layer.weight", "t"),
-    (r"output_patch_embedding/residual/bias", "output_patch_embedding.residual_layer.bias", ""),
+def _chronos_residual_rules(ours: str, theirs: str) -> list[tuple[str, list[tuple[str, str]]]]:
+    def cands(inner: list[str], suffix: str, transform: str):
+        return [(f"{theirs}.{n}.{suffix}", transform) for n in inner]
+
+    hidden = ["hidden_layer", "input_layer", "hidden_layer.0"]
+    return [
+        (rf"{ours}/hidden/kernel", cands(hidden, "weight", "t")),
+        (rf"{ours}/hidden/bias", cands(hidden, "bias", "")),
+        (rf"{ours}/output/kernel", cands(["output_layer"], "weight", "t")),
+        (rf"{ours}/output/bias", cands(["output_layer"], "bias", "")),
+        (rf"{ours}/residual/kernel", cands(["residual_layer"], "weight", "t")),
+        (rf"{ours}/residual/bias", cands(["residual_layer"], "bias", "")),
+    ]
+
+
+CHRONOS_NAME_RULES: list[tuple[str, list[tuple[str, str]]]] = [
+    *_chronos_residual_rules("input_patch_embedding", "input_patch_embedding"),
+    (r"shared", [("shared.weight", "")]),
+    (
+        r"encoder/rel_pos_bias",
+        [("encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight", "")],
+    ),
+    # T5-style RMSNorms: upstream stores ``weight`` (weight-convention);
+    # our rms_norm applies (1 + scale) — "rms" auto-detects and shifts.
+    (r"encoder/final_norm/scale", [("encoder.final_layer_norm.weight", "rms")]),
+    (r"encoder/layers/attn_norm/scale", [("encoder.block.{i}.layer.0.layer_norm.weight", "rms")]),
+    (r"encoder/layers/attn/q/kernel", [("encoder.block.{i}.layer.0.SelfAttention.q.weight", "t")]),
+    (r"encoder/layers/attn/k/kernel", [("encoder.block.{i}.layer.0.SelfAttention.k.weight", "t")]),
+    (r"encoder/layers/attn/v/kernel", [("encoder.block.{i}.layer.0.SelfAttention.v.weight", "t")]),
+    (r"encoder/layers/attn/out/kernel", [("encoder.block.{i}.layer.0.SelfAttention.o.weight", "t")]),
+    (r"encoder/layers/ffn_norm/scale", [("encoder.block.{i}.layer.1.layer_norm.weight", "rms")]),
+    (r"encoder/layers/ffn_up/kernel", [("encoder.block.{i}.layer.1.DenseReluDense.wi.weight", "t")]),
+    (r"encoder/layers/ffn_down/kernel", [("encoder.block.{i}.layer.1.DenseReluDense.wo.weight", "t")]),
+    *_chronos_residual_rules("output_patch_embedding", "output_patch_embedding"),
 ]
 
 
 def _convert_with_rules(
-    sd: dict[str, np.ndarray], adapter: TsfmAdapter, rules: list[tuple[str, str, str]]
+    sd: dict[str, np.ndarray],
+    adapter: TsfmAdapter,
+    rules: list[tuple[str, list[tuple[str, str]]]],
 ) -> Params:
     template = adapter.init(jax.random.key(0))
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
@@ -161,39 +202,58 @@ def _convert_with_rules(
                 return sd[pre + name]
         return None
 
+    def fetch(name_tpl: str, transform: str, i: int | None) -> np.ndarray | None:
+        """Resolve ONE candidate (for layer i when templated), transformed."""
+        fmt = {"i": i} if i is not None else {}
+        if transform.startswith("split_"):
+            parts = [lookup(name_tpl.format(p=p, **fmt)) for p in ("q", "k", "v")]
+            if any(p is None for p in parts):
+                return None
+            if transform == "split_t":  # (out,in) weights -> fused (in, 3*out)
+                return np.concatenate([p.T for p in parts], axis=1)
+            return np.concatenate(parts, axis=0)  # split_b: fused bias
+        arr = lookup(name_tpl.format(**fmt))
+        if arr is None:
+            return None
+        if transform == "t":
+            return arr.T
+        if transform == "rms":
+            # Convention auto-detection (see the rules comment): real
+            # weight-convention RMSNorm tensors cluster around 1, PAX-style
+            # zero-centered scales around 0.
+            if abs(float(np.mean(arr))) > 0.5:
+                _logger.info(
+                    "RMSNorm %s: weight-convention detected (mean %.3f); storing weight - 1",
+                    name_tpl.format(**fmt),
+                    float(np.mean(arr)),
+                )
+                return arr - 1.0
+            return arr
+        return arr
+
+    def resolve(candidates: list[tuple[str, str]], leaf) -> np.ndarray | None:
+        for name_tpl, transform in candidates:
+            if "{i}" in name_tpl:
+                per_layer = [fetch(name_tpl, transform, i) for i in range(leaf.shape[0])]
+                if all(p is not None for p in per_layer):
+                    return np.stack(per_layer)
+            else:
+                value = fetch(name_tpl, transform, None)
+                if value is not None:
+                    return value
+        return None
+
     unmatched: list[str] = []
     for path, leaf in flat:
         key = "/".join(
             p.key if isinstance(p, jax.tree_util.DictKey) else "" for p in path
         ).strip("/").replace("//", "/")
         rule = next((r for r in rules if re.fullmatch(r[0], key)), None)
-        if rule is None:
+        value = resolve(rule[1], leaf) if rule is not None else None
+        if value is None:
             unmatched.append(key)
             leaves.append(leaf)
             continue
-        _, name_tpl, transform = rule
-        if "{i}" in name_tpl:
-            # stacked per-layer leaf: gather + stack along axis 0
-            num_layers = leaf.shape[0]
-            per_layer = []
-            for i in range(num_layers):
-                arr = lookup(name_tpl.format(i=i))
-                if arr is None:
-                    per_layer = None
-                    break
-                per_layer.append(arr.T if transform == "t" else arr)
-            if per_layer is None:
-                unmatched.append(key)
-                leaves.append(leaf)
-                continue
-            value = np.stack(per_layer)
-        else:
-            arr = lookup(name_tpl)
-            if arr is None:
-                unmatched.append(key)
-                leaves.append(leaf)
-                continue
-            value = arr.T if transform == "t" else arr
         if value.shape != leaf.shape:
             raise ValueError(f"{key}: checkpoint shape {value.shape} != expected {leaf.shape}")
         leaves.append(jnp.asarray(value, leaf.dtype))

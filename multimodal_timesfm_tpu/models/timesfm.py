@@ -13,6 +13,12 @@ reference adapter reaches into (SURVEY.md §2.5; reference
 md=1280, ffn=1280, 20 layers, 16 heads x 80 head_dim, q=10 output channels
 (point + 9 deciles), decode_index=5 (median channel).
 
+Wiring oracle: the block design (per-dim softplus query scaling, RMSNorm ->
+attention -> residual, LayerNorm'd ReLU MLP with padding-zeroed residual,
+SiLU residual blocks, mean-then-quantiles channel order) is verified
+numerically against ``transformers``' TimesFM implementation on shared
+weights — see ``tests/test_hf_timesfm_oracle.py``.
+
 Semantics parity notes vs the reference adapter:
   * preprocess patches the context, computes causal masked running mean/std
     per patch (closed-form, see ``ops/revin.py``), RevIN-normalizes,

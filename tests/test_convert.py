@@ -13,8 +13,14 @@ from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Confi
 from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
 
 
-def _synthetic_state_dict(adapter, rules):
-    """Build an upstream-named state dict matching the adapter's template shapes."""
+def _synthetic_state_dict(adapter, rules, candidate=0):
+    """Build an upstream-named state dict matching the adapter's template shapes.
+
+    ``candidate`` selects which upstream naming candidate to emit per rule
+    (0 = primary; falls back to the last available for rules with fewer).
+    Random N(0,1) values keep the "rms" transform a no-op (mean ~ 0), so
+    round-trips stay exact.
+    """
     import jax
 
     template = adapter.init(jax.random.key(0))
@@ -27,15 +33,31 @@ def _synthetic_state_dict(adapter, rules):
         key = "/".join(
             p.key if isinstance(p, jax.tree_util.DictKey) else "" for p in path
         ).strip("/").replace("//", "/")
-        rule = next(r for r in rules if re.fullmatch(r[0], key))
-        _, name_tpl, transform = rule
+        _, candidates = next(r for r in rules if re.fullmatch(r[0], key))
+        name_tpl, transform = candidates[min(candidate, len(candidates) - 1)]
+
+        def emit(name: str, shape):
+            arr = rng.normal(size=shape).astype(np.float32)
+            if transform == "t":
+                sd[name] = np.ascontiguousarray(arr.T)
+            elif transform == "split_t":
+                third = arr.shape[1] // 3
+                for j, p in enumerate(("q", "k", "v")):
+                    sd[name.format(p=p)] = np.ascontiguousarray(
+                        arr[:, j * third : (j + 1) * third].T
+                    )
+            elif transform == "split_b":
+                third = arr.shape[0] // 3
+                for j, p in enumerate(("q", "k", "v")):
+                    sd[name.format(p=p)] = arr[j * third : (j + 1) * third]
+            else:
+                sd[name] = arr
+
         if "{i}" in name_tpl:
             for i in range(leaf.shape[0]):
-                arr = rng.normal(size=leaf.shape[1:]).astype(np.float32)
-                sd[name_tpl.format(i=i)] = arr.T if transform == "t" else arr
+                emit(name_tpl.replace("{i}", str(i)), leaf.shape[1:])
         else:
-            arr = rng.normal(size=leaf.shape).astype(np.float32)
-            sd[name_tpl] = arr.T if transform == "t" else arr
+            emit(name_tpl, leaf.shape)
     return sd, template
 
 
@@ -131,4 +153,43 @@ def test_adapter_from_pretrained_api(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["tokenizer"]["hidden"]["kernel"]),
         np.asarray(params["tokenizer"]["hidden"]["kernel"]),
+    )
+
+
+def test_timesfm_alternate_upstream_names():
+    """Candidate naming: HF-lineage split q/k/v + input_layer residual blocks."""
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    sd, template = _synthetic_state_dict(adapter, TIMESFM_NAME_RULES, candidate=1)
+    assert "stacked_xf.0.self_attn.q_proj.weight" in sd  # split form emitted
+    assert "tokenizer.input_layer.weight" in sd
+    params = convert_safetensors(sd, adapter)
+    # fused qkv kernel = concat of the three transposed projections
+    third = params["stacked_xf"]["attn"]["qkv"]["kernel"].shape[-1] // 3
+    np.testing.assert_array_equal(
+        np.asarray(params["stacked_xf"]["attn"]["qkv"]["kernel"][0, :, third : 2 * third]),
+        sd["stacked_xf.0.self_attn.k_proj.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["tokenizer"]["hidden"]["kernel"]),
+        sd["tokenizer.input_layer.weight"].T,
+    )
+
+
+def test_rmsnorm_weight_convention_autodetected():
+    """Ones-centered RMSNorm weights (torch convention) are shifted to our scale."""
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    sd, _ = _synthetic_state_dict(adapter, TIMESFM_NAME_RULES)
+    for i in range(2):
+        sd[f"stacked_xf.{i}.input_layernorm.weight"] = np.full(32, 1.25, np.float32)
+    params = convert_safetensors(sd, adapter)
+    # (1 + scale) must reproduce the upstream weight: scale = 1.25 - 1
+    np.testing.assert_allclose(
+        np.asarray(params["stacked_xf"]["attn_norm"]["scale"]), 0.25, atol=1e-6
+    )
+    # zero-centered scales (PAX convention) pass through untouched
+    sd[f"stacked_xf.0.input_layernorm.weight"] = np.full(32, 0.1, np.float32)
+    sd[f"stacked_xf.1.input_layernorm.weight"] = np.full(32, 0.1, np.float32)
+    params = convert_safetensors(sd, adapter)
+    np.testing.assert_allclose(
+        np.asarray(params["stacked_xf"]["attn_norm"]["scale"]), 0.1, atol=1e-6
     )
