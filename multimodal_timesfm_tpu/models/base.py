@@ -56,6 +56,17 @@ class TsfmAdapter(ABC):
     def point_forecast_index(self) -> int:
         """Index into the last output dim that gives the point forecast."""
 
+    @property
+    def quantile_loss_spec(self) -> tuple[tuple[float, ...], int | None]:
+        """(quantile levels, index of a separate mean channel or None).
+
+        Consumed by the trainer's ``loss_type="quantile"`` extension: pinball
+        loss over the level channels plus MSE on the mean channel when one
+        exists (the composite HF-TimesFM-style objective). Channels other
+        than the mean are assumed to follow it in level order.
+        """
+        raise NotImplementedError(f"{type(self).__name__} defines no quantile loss spec")
+
     @abstractmethod
     def init(self, rng: jax.Array) -> Params:
         """Random-init the backbone parameter pytree."""

@@ -278,6 +278,11 @@ class Chronos2Adapter(TsfmAdapter):
     def point_forecast_index(self) -> int:
         return self.config.quantiles.index(0.5)
 
+    @property
+    def quantile_loss_spec(self) -> tuple[tuple[float, ...], int | None]:
+        """Every output channel is a quantile; no separate mean channel."""
+        return self.config.quantiles, None
+
     def init(self, rng: jax.Array) -> Params:
         return init_chronos(rng, self.config)
 

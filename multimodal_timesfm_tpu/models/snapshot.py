@@ -151,8 +151,10 @@ def timesfm_config_from_hf(hf: Mapping[str, Any], defaults=None):
     }
     cfg = _apply_aliases(TimesFMConfig, defaults or TimesFMConfig(), aliases, hf)
     quantiles = _pick(hf, "quantiles")
-    if quantiles is not None and "num_output_channels" not in hf:
-        cfg = dataclasses.replace(cfg, num_output_channels=1 + len(quantiles))
+    if quantiles is not None:
+        cfg = dataclasses.replace(cfg, quantiles=tuple(quantiles))
+        if "num_output_channels" not in hf:
+            cfg = dataclasses.replace(cfg, num_output_channels=1 + len(quantiles))
     return cfg
 
 

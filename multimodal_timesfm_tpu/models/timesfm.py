@@ -62,6 +62,9 @@ class TimesFMConfig:
     num_heads: int = 16
     num_output_channels: int = 10  # point + 9 quantiles
     decode_index: int = 5  # median channel: the point forecast
+    # Level per quantile channel (channels 1..; channel 0 is the mean —
+    # ordering verified against the HF TimesFM head, tests/test_hf_timesfm_oracle.py).
+    quantiles: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     # Continuous quantile head (upstream ``output_projection_quantiles``):
     # full-horizon quantile forecasts from the last hidden state. Unused by
     # the reference adapter pipeline; config-gated for checkpoint-format
@@ -144,6 +147,16 @@ class TimesFM2p5Adapter(TsfmAdapter):
     @property
     def point_forecast_index(self) -> int:
         return self.config.decode_index
+
+    @property
+    def quantile_loss_spec(self) -> tuple[tuple[float, ...], int | None]:
+        """Mean at channel 0, quantile levels on channels 1.. (HF-verified order)."""
+        if 1 + len(self.config.quantiles) != self.config.num_output_channels:
+            raise ValueError(
+                f"num_output_channels ({self.config.num_output_channels}) must be "
+                f"1 + len(quantiles) ({len(self.config.quantiles)}) for quantile loss"
+            )
+        return self.config.quantiles, 0
 
     def init(self, rng: jax.Array) -> Params:
         return init_timesfm(rng, self.config)

@@ -216,14 +216,36 @@ class MultimodalTrainer:
         return params
 
     def _loss_fn(self, trainable, frozen, context, horizon, text, weights):
-        """Weighted MSE on the point forecast; weights zero out padded rows."""
+        """Weighted training loss; weights zero out padded rows.
+
+        ``loss_type="mse"`` is the reference objective (point-channel MSE,
+        reference ``trainer.py:105,208``). ``loss_type="quantile"`` is the
+        extension that trains the quantile channels: mean pinball loss over
+        the adapter's ``quantile_loss_spec`` levels, plus MSE on its mean
+        channel when one exists.
+        """
         params = dict(frozen)
         params[self.trainable_key] = trainable
         masks = jnp.zeros_like(context, dtype=bool)
-        point = self.model(params, self.horizon_len, context, masks, text)
-        err = (point.astype(jnp.float32) - horizon) ** 2
         denom = jnp.maximum(jnp.sum(weights) * self.horizon_len, 1.0)
-        return jnp.sum(err * weights[:, None]) / denom
+
+        if self.args.loss_type == "mse":
+            point = self.model(params, self.horizon_len, context, masks, text)
+            err = (point.astype(jnp.float32) - horizon) ** 2
+            return jnp.sum(err * weights[:, None]) / denom
+
+        full = self.model.forward_full(params, self.horizon_len, context, masks, text)
+        full = full.astype(jnp.float32)  # (B, H, C)
+        levels, mean_channel = self.model.adapter.quantile_loss_spec
+        loss = 0.0
+        if mean_channel is not None:
+            err = (full[..., mean_channel] - horizon) ** 2
+            loss = jnp.sum(err * weights[:, None]) / denom
+        q_channels = [c for c in range(full.shape[-1]) if c != mean_channel]
+        errs = horizon[..., None] - full[..., q_channels]  # (B, H, Q)
+        levels_arr = jnp.asarray(levels, jnp.float32)
+        pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
+        return loss + jnp.sum(pinball * weights[:, None, None]) / (denom * len(levels))
 
     def _batch_constraint(self, tree):
         """Constrain a gathered micro-batch to data-axis sharding (no-op without a mesh)."""

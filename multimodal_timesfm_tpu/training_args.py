@@ -55,6 +55,13 @@ class TrainingArguments:
     # --- Best Model Tracking ---
     load_best_model_at_end: bool = field(default=False)
 
+    # --- Loss (extension over the reference, which is MSE-only) ---
+    # "mse" = reference parity (point-channel MSE, trainer.py:105).
+    # "quantile" = pinball loss over the adapter's quantile channels plus MSE
+    # on its mean channel when one exists — the objective that actually
+    # trains the quantile heads (HF-TimesFM-style composite).
+    loss_type: Literal["mse", "quantile"] = field(default="mse")
+
     # --- Reproducibility ---
     seed: int | None = field(default=None)
 

@@ -53,6 +53,13 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--output-dir", type=str, default=None)
     parser.add_argument("--seed", type=int)
     parser.add_argument(
+        "--loss-type",
+        choices=["mse", "quantile"],
+        default="mse",
+        help="Training objective: mse (reference parity) or quantile "
+        "(mean-MSE + pinball over the adapter's quantile channels).",
+    )
+    parser.add_argument(
         "--require-pretrained-text",
         action="store_true",
         help="Refuse embedding caches built without pretrained text-encoder "
@@ -75,6 +82,7 @@ def main(mode: str = MODE) -> int:
         eval_strategy="epoch",
         save_strategy="best",
         load_best_model_at_end=False,
+        loss_type=args.loss_type,
         seed=args.seed,
     )
     if args.seed is not None:
