@@ -127,6 +127,7 @@ def build_trainer(
     tiny: bool = False,
     dtype: str = "bfloat16",
     mode: str = "multimodal",
+    arch: dict | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -142,12 +143,18 @@ def build_trainer(
     from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
     from multimodal_timesfm_tpu.training_args import TrainingArguments
 
+    import dataclasses
+
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     if backbone == "timesfm":
         cfg = TimesFMConfig.tiny() if tiny else TimesFMConfig(compute_dtype=compute_dtype)
+        if arch and not tiny:
+            cfg = dataclasses.replace(cfg, **arch)
         adapter = TimesFM2p5Adapter(cfg)
     else:
         cfg = Chronos2Config.tiny() if tiny else Chronos2Config(compute_dtype=compute_dtype)
+        if arch and not tiny:
+            cfg = dataclasses.replace(cfg, **arch)
         adapter = Chronos2Adapter(cfg)
     num_patches = context_len // adapter.patch_len
     text_dims = 384
@@ -226,7 +233,10 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Chronos-2 at the checkpoint-default max_output_patches=64 (the
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
     "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2, "multimodal"),
+    # The horizon-matched fine-tune knob (NOT checkpoint-equivalent).
+    "chronos_mm_h32_mop2": ("chronos", 32, 32, 512, 8192, 2, "multimodal"),
 }
+WORKLOAD_ARCH: dict[str, dict] = {"chronos_mm_h32_mop2": {"max_output_patches": 2}}
 HEADLINE = "timesfm_mm_c32"
 
 
@@ -248,7 +258,8 @@ def run_workload(
     samples = samples_override or samples
     _log(f"[bench] {name}: building trainer (context={context}, batch={batch}, mode={mode})")
     trainer, cfg = build_trainer(
-        backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype, mode
+        backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype, mode,
+        WORKLOAD_ARCH.get(name),
     )
 
     _log(f"[bench] {name}: warmup (compile)")
