@@ -230,6 +230,10 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Attention-relevant regimes: 16 and 64 patch tokens.
     "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2, "multimodal"),
     "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2, "multimodal"),
+    # TimesFM's max context (16k steps = 512 patch tokens): the Pallas
+    # whole-sequence attention kernel's regime. NOT in the default set —
+    # run via --workloads timesfm_mm_c16384 (large compile).
+    "timesfm_mm_c16384": ("timesfm", 16384, 32, 16, 96, 1, "multimodal"),
     # Chronos-2 at the checkpoint-default max_output_patches=64 (the
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
     "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2, "multimodal"),
@@ -237,6 +241,9 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     "chronos_mm_h32_mop2": ("chronos", 32, 32, 512, 8192, 2, "multimodal"),
 }
 WORKLOAD_ARCH: dict[str, dict] = {"chronos_mm_h32_mop2": {"max_output_patches": 2}}
+# Excluded from --workloads all (the driver's default run): minutes-scale
+# remote compile for a sub-200-series/s regime; run explicitly by name.
+DEFAULT_EXCLUDED = {"timesfm_mm_c16384"}
 HEADLINE = "timesfm_mm_c32"
 
 
@@ -378,7 +385,7 @@ def main() -> int:
         return attention_bench(args.dtype)
 
     if args.workloads == "all":
-        names = list(WORKLOADS)
+        names = [n for n in WORKLOADS if n not in DEFAULT_EXCLUDED]
     elif args.workloads == "headline":
         names = [HEADLINE]
     else:
