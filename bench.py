@@ -299,6 +299,55 @@ def run_workload(
     return result
 
 
+def latency_bench(dtype: str) -> int:
+    """Single-request forecast latency (TimesFM 200M multimodal, context 32).
+
+    The serving-side metric: p50/p99 wall-clock per ``Forecaster.forecast``
+    call (host->device transfer + jitted forward + device->host readback) at
+    a few batch sizes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.inference import Forecaster
+    from multimodal_timesfm_tpu.models.decoder import (
+        MultimodalDecoder,
+        MultimodalDecoderConfig,
+    )
+    from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    decoder = MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig(compute_dtype=compute_dtype)),
+        MultimodalDecoderConfig(text_embedding_dims=384),
+    )
+    params = decoder.init(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for batch in (1, 16, 256):
+        forecaster = Forecaster(decoder, params, batch_size=batch)
+        ctx = rng.normal(size=(batch, 32)).astype(np.float32)
+        txt = rng.normal(size=(batch, 1, 384)).astype(np.float32)
+        forecaster.forecast(32, ctx, text_embeddings=txt)  # compile + warm
+        times = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            forecaster.forecast(32, ctx, text_embeddings=txt)
+            times.append((time.perf_counter() - t0) * 1e3)
+        times.sort()
+        rows.append(
+            {
+                "batch": batch,
+                "p50_ms": round(times[len(times) // 2], 3),
+                "p99_ms": round(times[int(len(times) * 0.99) - 1], 3),
+            }
+        )
+        _log(f"[latency] {rows[-1]}")
+    print(json.dumps({"metric": "forecast_latency_ms", "rows": rows}))
+    return 0
+
+
 def attention_bench(dtype: str) -> int:
     """Pallas fused attention vs XLA, fwd+bwd, across sequence lengths."""
     import jax
@@ -371,6 +420,11 @@ def main() -> int:
         help="Micro-benchmark Pallas vs XLA attention instead of the training workloads.",
     )
     parser.add_argument(
+        "--latency",
+        action="store_true",
+        help="Measure single-request forecast latency instead of training throughput.",
+    )
+    parser.add_argument(
         "--budget-seconds",
         type=float,
         default=2400.0,
@@ -383,6 +437,8 @@ def main() -> int:
     _enable_compile_cache()
     if args.attention_bench:
         return attention_bench(args.dtype)
+    if args.latency:
+        return latency_bench(args.dtype)
 
     if args.workloads == "all":
         names = [n for n in WORKLOADS if n not in DEFAULT_EXCLUDED]
