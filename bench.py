@@ -62,7 +62,11 @@ def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384)
     p, md, ffn = cfg.input_patch_len, cfg.model_dims, cfg.ffn_dims
     o, q = cfg.output_patch_len, cfg.num_output_channels
     tokenizer = 2 * n * (2 * p * md + md * md + 2 * p * md)
-    stack = cfg.num_layers * (n * (8 * md * md + 4 * md * ffn) + 4 * n * n * md)
+    # n == 1: the seq==1 attention path computes only the v projection
+    # (q/k are dead compute there — models/layers.causal_attention), so the
+    # attention GEMMs are v+out (4*md*md) instead of qkv+out (8*md*md).
+    attn_gemms = 4 * md * md if n == 1 else 8 * md * md
+    stack = cfg.num_layers * (n * (attn_gemms + 4 * md * ffn) + 4 * n * n * md)
     head = 2 * n * (md * md + 2 * md * o * q)
     fwd = tokenizer + stack + head
     # multimodal: frozen backbone still needs d/d(input) through every matmul

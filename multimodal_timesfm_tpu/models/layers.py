@@ -160,23 +160,32 @@ def causal_attention(
     )
 
     batch, seq, _ = x.shape
-    qkv = dense(params["qkv"], x).reshape(batch, seq, 3, num_heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
     if seq == 1:
         # Single causal position: softmax over one key is identity, so
-        # attention output == v (the reference's default 32-step context is
-        # exactly one patch token, making this the headline-workload path).
-        out = v
+        # attention output == v and the q/k projections are dead compute —
+        # their grads are identically zero too (the softmax is constant in
+        # them), exactly as in the general path. Dot only the v third of the
+        # fused qkv kernel (column-slicing a GEMM's weights equals slicing
+        # its output), cutting the attention GEMM FLOPs 3x in forward AND
+        # backward on the reference's default 32-step (1 patch token)
+        # workload — the headline-bench path.
+        hd = num_heads * head_dim
+        v_proj = {"kernel": params["qkv"]["kernel"][:, 2 * hd :]}
+        if "bias" in params["qkv"]:
+            v_proj["bias"] = params["qkv"]["bias"][2 * hd :]
+        out = dense(v_proj, x)
+        return dense(params["out"], out.astype(x.dtype))
+
+    qkv = dense(params["qkv"], x).reshape(batch, seq, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = _scale_query(q, params["per_dim_scale"], head_dim)
+    key_valid = ~paddings  # (B, N)
+    if supports_pallas(seq, head_dim):
+        out = fused_causal_attention(q, k, v, key_valid)
+    elif supports_flash(seq, head_dim):
+        out = flash_causal_attention(q, k, v, key_valid)
     else:
-        q = _scale_query(q, params["per_dim_scale"], head_dim)
-        key_valid = ~paddings  # (B, N)
-        if supports_pallas(seq, head_dim):
-            out = fused_causal_attention(q, k, v, key_valid)
-        elif supports_flash(seq, head_dim):
-            out = flash_causal_attention(q, k, v, key_valid)
-        else:
-            out = xla_causal_attention(q, k, v, key_valid)
+        out = xla_causal_attention(q, k, v, key_valid)
     out = out.reshape(batch, seq, num_heads * head_dim).astype(x.dtype)
     return dense(params["out"], out)
 
