@@ -258,6 +258,7 @@ def run_workload(
     profile_dir: str | None = None,
     batch_override: int | None = None,
     samples_override: int | None = None,
+    arch_override: dict | None = None,
 ) -> dict:
     backbone, context, horizon, batch, samples, epochs, mode = WORKLOADS[name]
     if tiny:
@@ -267,26 +268,36 @@ def run_workload(
         name = f"{name}_tiny"
     batch = batch_override or batch
     samples = samples_override or samples
+    arch = dict(WORKLOAD_ARCH.get(name) or {})
+    arch.update(arch_override or {})
     _log(f"[bench] {name}: building trainer (context={context}, batch={batch}, mode={mode})")
     trainer, cfg = build_trainer(
         backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype, mode,
-        WORKLOAD_ARCH.get(name),
+        arch or None,
     )
-
-    _log(f"[bench] {name}: warmup (compile)")
-    trainer.train_epoch()
-    trainer.validate_epoch()
 
     from multimodal_timesfm_tpu.utils.profiling import trace
 
-    t0 = time.perf_counter()
-    with trace(profile_dir or ".", enabled=bool(profile_dir)):
-        for _ in range(epochs):
-            trainer.train_epoch()
+    fused = trainer.fused_epochs_supported()
+    _log(f"[bench] {name}: warmup (compile){' [fused epochs]' if fused else ''}")
+    if fused:
+        # The whole fine-tune (train + per-epoch val) is ONE device dispatch.
+        trainer.train_epochs_fused(epochs)
+        t0 = time.perf_counter()
+        with trace(profile_dir or ".", enabled=bool(profile_dir)):
+            trainer.train_epochs_fused(epochs)
+        elapsed = time.perf_counter() - t0
+        total_series = (samples + len(trainer.val_data)) * epochs
+    else:
+        trainer.train_epoch()
         trainer.validate_epoch()
-    elapsed = time.perf_counter() - t0
-
-    total_series = samples * epochs + len(trainer.val_data)
+        t0 = time.perf_counter()
+        with trace(profile_dir or ".", enabled=bool(profile_dir)):
+            for _ in range(epochs):
+                trainer.train_epoch()
+            trainer.validate_epoch()
+        elapsed = time.perf_counter() - t0
+        total_series = samples * epochs + len(trainer.val_data)
     series_per_sec = total_series / elapsed
 
     flops_fn = timesfm_flops_per_series if backbone == "timesfm" else chronos_flops_per_series
@@ -416,6 +427,14 @@ def main() -> int:
     parser.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
     parser.add_argument("--batch-size", type=int, help="Override every workload's batch size.")
     parser.add_argument("--num-samples", type=int, help="Override every workload's sample count.")
+    parser.add_argument(
+        "--arch",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="Model-config field override (int-valued), e.g. --arch scan_unroll=4. "
+        "Merged over the workload's own arch overrides; experiment knob.",
+    )
     parser.add_argument("--tiny", action="store_true", help="Tiny models (debug/CI)")
     parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here.")
     parser.add_argument(
@@ -437,6 +456,11 @@ def main() -> int:
         "headline artifact must always land. Skips are logged, never silent.",
     )
     args = parser.parse_args()
+
+    arch_cli = {}
+    for kv in args.arch:
+        key, _, value = kv.partition("=")
+        arch_cli[key] = int(value)
 
     _enable_compile_cache()
     if args.attention_bench:
@@ -463,7 +487,8 @@ def main() -> int:
             continue
         try:
             results[name] = run_workload(
-                name, args.tiny, args.dtype, args.profile_dir, args.batch_size, args.num_samples
+                name, args.tiny, args.dtype, args.profile_dir, args.batch_size,
+                args.num_samples, arch_cli,
             )
         except Exception as exc:  # a secondary failure must not kill the artifact
             if name == names[0]:

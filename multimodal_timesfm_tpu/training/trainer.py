@@ -98,6 +98,7 @@ class MultimodalTrainer:
         max_device_dataset_bytes: int = 4 << 30,
         frozen_cast_dtype=None,
         ckpt_backend: str = "pickle",
+        fuse_epochs: bool | None = None,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
@@ -110,13 +111,18 @@ class MultimodalTrainer:
         ``frozen_cast_dtype`` (e.g. ``jnp.bfloat16``) stores the FROZEN
         params subtree in that dtype — the trained subtree keeps fp32 master
         weights. In multimodal mode this halves the 200M backbone's weight
-        HBM traffic with no optimizer-state impact."""
+        HBM traffic with no optimizer-state impact.
+
+        ``fuse_epochs``: None (default) lets ``train()`` pick the fused
+        one-dispatch multi-epoch path whenever it is applicable
+        (``fused_epochs_supported``); False forces the per-epoch loop."""
         self.model = model
         self.args = args
         self.mode = mode
         self.mesh = mesh
         self._wandb_run = wandb_run
         self.ckpt_backend = ckpt_backend
+        self.fuse_epochs = fuse_epochs
 
         multimodal = mode == "multimodal"
         self.train_data = (
@@ -275,15 +281,24 @@ class MultimodalTrainer:
             )
 
         def optimizer_step(state: TrainState, frozen, micro_xs, get_mb):
-            """One optimizer step: scan over ``accum`` micro-batches, then update."""
+            """One optimizer step: accumulate over ``accum`` micro-batches, then update."""
+            if accum == 1:
+                # No accumulation: skip the zeros-init + add pass over the
+                # gradient tree AND the scan boundary, letting XLA fuse the
+                # backward straight into the optimizer update — worth whole
+                # HBM round-trips over the 200M-param tree in baseline mode.
+                mb = jax.tree.map(lambda x: x[0], micro_xs)
+                loss, grads = micro_loss_and_grads(state, frozen, get_mb(mb))
+                losses = loss[None]
+            else:
 
-            def micro(grads_acc, xs):
-                loss, grads = micro_loss_and_grads(state, frozen, get_mb(xs))
-                grads_acc = jax.tree.map(lambda a, g: a + g / accum, grads_acc, grads)
-                return grads_acc, loss
+                def micro(grads_acc, xs):
+                    loss, grads = micro_loss_and_grads(state, frozen, get_mb(xs))
+                    grads_acc = jax.tree.map(lambda a, g: a + g / accum, grads_acc, grads)
+                    return grads_acc, loss
 
-            zeros = jax.tree.map(jnp.zeros_like, state.trainable)
-            grads, losses = jax.lax.scan(micro, zeros, micro_xs)
+                zeros = jax.tree.map(jnp.zeros_like, state.trainable)
+                grads, losses = jax.lax.scan(micro, zeros, micro_xs)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
             return TrainState(trainable, opt_state), losses
@@ -343,10 +358,58 @@ class MultimodalTrainer:
             _, out = jax.lax.scan(one, None, batches)
             return out
 
+        # --- fused multi-epoch variant: the whole fine-tune in ONE dispatch ---
+
+        def fused_epochs_fn(carry0, frozen, data, val_data, perm, weights, val_perm, val_weights, val_nb):
+            """Scan over epochs of (train-step scan -> val scan), tracking the best
+            trainable subtree device-side.
+
+            perm/weights: (E, steps, accum, B); val_perm/val_weights: (val_steps, B).
+            ``val_nb`` (static) = real val batch count for the epoch-mean val loss.
+            carry0: {"state": TrainState, "best_val": f32, "best": trainable-like}.
+            """
+
+            def epoch(carry, xs):
+                p, w = xs
+
+                def step(c, sxs):
+                    idx_group, w_group = sxs
+                    return optimizer_step(
+                        c, frozen, (idx_group, w_group), lambda x: self._gather(data, *x)
+                    )
+
+                state, losses = jax.lax.scan(step, carry["state"], (p, w))
+
+                params = dict(frozen)
+                params[self.trainable_key] = state.trainable
+
+                def one(_, exs):
+                    idx, vw = exs
+                    return None, eval_metrics(params, self._gather(val_data, idx, vw))
+
+                _, (mse, _, _) = jax.lax.scan(one, None, (val_perm, val_weights))
+                val_loss = jnp.mean(mse[:val_nb])
+
+                is_best = val_loss < carry["best_val"]
+                new_carry = {
+                    "state": state,
+                    "best_val": jnp.where(is_best, val_loss, carry["best_val"]),
+                    "best": jax.tree.map(
+                        lambda b, c: jnp.where(is_best, c, b), carry["best"], state.trainable
+                    ),
+                }
+                return new_carry, (losses, val_loss)
+
+            carry, (train_losses, val_losses) = jax.lax.scan(epoch, carry0, (perm, weights))
+            return carry, train_losses, val_losses
+
         self._train_epoch_fn = jax.jit(train_epoch_fn, donate_argnums=(0,))
         self._eval_fn = jax.jit(eval_fn)
         self._train_epoch_mat_fn = jax.jit(train_epoch_mat_fn, donate_argnums=(0, 2))
         self._eval_mat_fn = jax.jit(eval_mat_fn, donate_argnums=(2,))
+        self._fused_epochs_fn = jax.jit(
+            fused_epochs_fn, donate_argnums=(0,), static_argnums=(8,)
+        )
 
     # ------------------------------------------------------------------
     # host-side epoch index staging (tiny transfers; data already on device)
@@ -479,6 +542,108 @@ class MultimodalTrainer:
             mse, _, _ = self._eval_mat_fn(self.state.trainable, self.frozen, batches)
         return float(np.mean(np.asarray(mse)[:num_batches]))
 
+    def fused_epochs_supported(self) -> bool:
+        """Whether ``train()`` can run as one fused device dispatch.
+
+        Requires the device-resident data path, per-epoch eval, and no
+        per-epoch host work (epoch-checkpoint saving/rotation needs the host
+        between epochs; ``no``/``best`` strategies don't).
+        """
+        return (
+            self.fuse_epochs is not False
+            and self._device_resident
+            and self.args.eval_strategy == "epoch"
+            and self.args.save_strategy in ("no", "best")
+        )
+
+    def train_epochs_fused(self, num_epochs: int) -> tuple[np.ndarray, np.ndarray]:
+        """Run ``num_epochs`` x (train epoch + validation) in ONE jitted dispatch.
+
+        TPU-native fast path over the per-epoch loop: a ``lax.scan`` over
+        epochs removes every per-epoch dispatch/sync round-trip (measured
+        ~10% of headline wall-clock on v5e; far more for the sweep-sized
+        datasets where an epoch is a few optimizer steps). Semantics match
+        ``num_epochs`` iterations of the reference loop — per-epoch shuffled
+        permutations are pre-generated host-side in the same RNG order, the
+        validation loss is the same per-batch mean, and the best trainable
+        subtree is tracked *device-side* (same best-epoch selection).
+
+        One documented divergence: a ``save_strategy="best"`` checkpoint
+        written after a fused run carries the END-of-run optimizer state
+        (the loop path saves the moments as of the best epoch). Weights,
+        best epoch/val-loss — what sweep reloads consume — are identical.
+
+        Returns:
+            (train_losses, val_losses): shapes (E, num_micro_batches-padded)
+            flattened per epoch, and (E,).
+        """
+        if not self._device_resident:
+            raise RuntimeError("train_epochs_fused requires the device-resident data path")
+        accum = self.args.gradient_accumulation_steps
+        perms, weightss = [], []
+        num_batches = None
+        for _ in range(num_epochs):
+            p, w, num_batches = self._epoch_indices(
+                len(self.train_data),
+                self.args.per_device_train_batch_size,
+                shuffle=True,
+                accum=accum,
+            )
+            perms.append(p)
+            weightss.append(w)
+        perm = jnp.stack(perms)
+        weights = jnp.stack(weightss)
+        val_perm, val_weights, val_nb = self._epoch_indices(
+            len(self.val_data), self.args.per_device_eval_batch_size, shuffle=False, accum=1
+        )
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            perm, weights = jax.device_put((perm, weights), rep)
+
+        carry0 = {
+            "state": self.state,
+            "best_val": jnp.asarray(
+                self.best_val_loss if np.isfinite(self.best_val_loss) else np.finfo(np.float32).max,
+                jnp.float32,
+            ),
+            # Distinct buffers: carry0 is donated, so the best-subtree slot
+            # must not alias the live trainable.
+            "best": jax.tree.map(lambda x: x.copy(), self.state.trainable),
+        }
+        t0 = time.perf_counter()
+        carry, train_losses, val_losses = self._fused_epochs_fn(
+            carry0,
+            self.frozen,
+            self._train_device,
+            self._val_device,
+            perm,
+            weights,
+            val_perm[:, 0],
+            val_weights[:, 0],
+            val_nb,
+        )
+        self.state = carry["state"]
+        loss_cube = np.asarray(train_losses)  # (E, steps, accum)
+        val_arr = np.asarray(val_losses)  # (E,)
+        elapsed = time.perf_counter() - t0
+        self.last_throughput = num_epochs * len(self.train_data) / max(elapsed, 1e-9)
+
+        flat = loss_cube.reshape(num_epochs, -1)[:, :num_batches]
+        if not np.all(np.isfinite(flat)):
+            e, b = map(int, np.argwhere(~np.isfinite(flat))[0])
+            raise FloatingPointError(
+                f"Non-finite training loss at epoch {self.start_epoch + e}, micro-batch {b} "
+                f"(loss={flat[e, b]}). Check learning rate / data scaling."
+            )
+
+        self.global_step += num_epochs * loss_cube.shape[1]
+        self._fused_best = {
+            "val": float(np.asarray(carry["best_val"])),
+            "trainable": carry["best"],
+            "epoch": self.start_epoch + int(np.argmin(val_arr)),
+        }
+        return flat, val_arr
+
     @property
     def params(self) -> Params:
         """Full assembled parameter pytree (frozen + current trainable)."""
@@ -564,6 +729,75 @@ class MultimodalTrainer:
         _logger.info("Train dataset size: %d", len(self.train_data))
         _logger.info("Validation dataset size: %d", len(self.val_data))
 
+        if self.fused_epochs_supported():
+            self._train_fused()
+        else:
+            self._train_loop()
+
+        if self.args.load_best_model_at_end:
+            best_path = self.args.checkpoint_dir / "best_model.ckpt"
+            if best_path.exists():
+                self._load_checkpoint_state(load_checkpoint(best_path))
+                _logger.info("Loaded best model at end of training")
+
+        _logger.info("Training completed")
+
+    def _train_fused(self) -> None:
+        """One-dispatch training run (see ``train_epochs_fused``); host-side
+        logging/checkpointing reconstructed post-hoc from the returned losses."""
+        num_epochs = self.args.num_train_epochs - self.start_epoch
+        if num_epochs <= 0:
+            return
+        step0 = self.global_step
+        train_losses, val_losses = self.train_epochs_fused(num_epochs)
+        steps_per_epoch = (self.global_step - step0) // num_epochs
+
+        # Loop-path parity: best tracking only happens when save_ckpt runs,
+        # i.e. never under save_strategy="no".
+        improved = (
+            self.args.save_strategy == "best"
+            and float(np.min(val_losses)) < self.best_val_loss
+        )
+        for e in range(num_epochs):
+            epoch = self.start_epoch + e
+            self.current_epoch = epoch
+            train_loss = float(np.mean(train_losses[e]))
+            val_loss = float(val_losses[e])
+            _logger.info(
+                "Epoch %d: Train Loss = %.6f, Val Loss = %.6f (%.1f series/s)",
+                epoch,
+                train_loss,
+                val_loss,
+                self.last_throughput or 0.0,
+            )
+            if self._wandb_run is not None:
+                gs = step0 + (e + 1) * steps_per_epoch
+                if self.args.logging_strategy == "epoch":
+                    lr = float(self.schedule(gs - steps_per_epoch))
+                    self._wandb_run.log(
+                        {"train/loss": train_loss, "train/lr": lr, "val/loss": val_loss},
+                        step=gs,
+                    )
+                else:
+                    self._wandb_run.log({"val/loss": val_loss}, step=gs)
+
+        if improved:
+            self.best_val_loss = self._fused_best["val"]
+        if self.args.save_strategy == "best" and improved:
+            # Save once, with the device-tracked best trainable subtree.
+            live = self.state
+            self.state = TrainState(self._fused_best["trainable"], self.state.opt_state)
+            self.current_epoch = self._fused_best["epoch"]
+            checkpoint = self._build_checkpoint()
+            self.state = live
+            self.current_epoch = self.args.num_train_epochs - 1
+            save_checkpoint(
+                self.args.checkpoint_dir / "best_model.ckpt", checkpoint, backend=self.ckpt_backend
+            )
+            _logger.info("Saved best model checkpoint at epoch %d", self._fused_best["epoch"])
+
+    def _train_loop(self) -> None:
+        """Reference-shaped per-epoch host loop (exact checkpoint semantics)."""
         for epoch in range(self.start_epoch, self.args.num_train_epochs):
             self.current_epoch = epoch
             epoch_lr = float(self.schedule(self.global_step))
@@ -589,11 +823,3 @@ class MultimodalTrainer:
 
             if self.args.save_strategy in ("epoch", "best"):
                 self.save_ckpt(val_loss)
-
-        if self.args.load_best_model_at_end:
-            best_path = self.args.checkpoint_dir / "best_model.ckpt"
-            if best_path.exists():
-                self._load_checkpoint_state(load_checkpoint(best_path))
-                _logger.info("Loaded best model at end of training")
-
-        _logger.info("Training completed")

@@ -307,3 +307,77 @@ def test_nonfinite_loss_raises(tmp_path, mesh):
     with pytest.raises(FloatingPointError, match="Non-finite"):
         for _ in range(3):
             trainer.train_epoch()
+
+
+@pytest.mark.parametrize("mode", ["multimodal", "baseline"])
+def test_fused_epochs_match_per_epoch_loop(tmp_path, mesh, mode):
+    """train() fused one-dispatch path == the reference-shaped epoch loop.
+
+    Same seed/config, two trainers: one forced onto the per-epoch loop, one
+    on the fused lax.scan-over-epochs path. Best checkpoint weights, restored
+    final params, and best val loss must agree.
+    """
+
+    def run(sub, fuse):
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(0))
+        with_text = mode == "multimodal"
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(tmp_path / sub, num_train_epochs=3),
+            train_dataset=PreprocessedDataset(_make_samples(20, 0, with_text), mode),
+            val_dataset=PreprocessedDataset(_make_samples(12, 1, with_text), mode),
+            mode=mode,
+            mesh=mesh,
+            fuse_epochs=fuse,
+        )
+        assert trainer.fused_epochs_supported() == (fuse is not False)
+        trainer.train()
+        from multimodal_timesfm_tpu.training.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(trainer.args.checkpoint_dir / "best_model.ckpt")
+        return trainer, ckpt
+
+    loop_tr, loop_ckpt = run("loop", False)
+    fused_tr, fused_ckpt = run("fused", None)
+
+    assert fused_tr.global_step == loop_tr.global_step
+    np.testing.assert_allclose(fused_tr.best_val_loss, loop_tr.best_val_loss, rtol=1e-6)
+    assert fused_ckpt["epoch"] == loop_ckpt["epoch"]
+    key = "fusion_params" if mode == "multimodal" else "adapter_params"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        loop_ckpt[key],
+        fused_ckpt[key],
+    )
+    # load_best_model_at_end restored the same weights in both runs
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        jax.device_get(loop_tr.state.trainable),
+        jax.device_get(fused_tr.state.trainable),
+    )
+
+
+def test_fused_epochs_nonfinite_raises(tmp_path, mesh):
+    """The fused path surfaces divergence with epoch/micro-batch location."""
+    samples = _make_samples(16, 0, with_text=False)
+    for s in samples:
+        s["context"] = (s["context"] * 1e30).astype(np.float32)
+        s["horizon"] = (s["horizon"] * 1e30).astype(np.float32)
+    decoder = _make_decoder()
+    params = decoder.init(jax.random.key(0))
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=_args(tmp_path, save_strategy="no", load_best_model_at_end=False),
+        train_dataset=PreprocessedDataset(samples, "baseline"),
+        val_dataset=PreprocessedDataset(samples[:8], "baseline"),
+        mode="baseline",
+        mesh=mesh,
+    )
+    assert trainer.fused_epochs_supported()
+    with pytest.raises(FloatingPointError, match="epoch"):
+        trainer.train()
