@@ -314,6 +314,109 @@ def run_workload(
     return result
 
 
+def sweep_bench(dtype: str, trials: int = 16) -> int:
+    """Vectorized vs sequential sweep-trial throughput (TimesFM 200M multimodal).
+
+    The sweep workload is where a sequential trial starves the MXU: realistic
+    sweep batch sizes (8-64 rows) leave it ~97% idle on a 200M backbone.
+    ``run_vectorized_trials`` trains T trials in one dispatch with the frozen
+    backbone shared, so the effective GEMM batch is T*B. Reports per-trial
+    seconds for a sequential loop (measured on ``seq_trials`` trials) vs the
+    vectorized batch (all ``trials``).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.models.decoder import (
+        MultimodalDecoder,
+        MultimodalDecoderConfig,
+    )
+    from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+    from multimodal_timesfm_tpu.training.vectorized import (
+        run_vectorized_trials,
+        stack_trainables,
+    )
+
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    decoder = MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig(compute_dtype=compute_dtype)),
+        MultimodalDecoderConfig(text_embedding_dims=384),
+    )
+    params = decoder.init(jax.random.key(0))
+    frozen = {k: v for k, v in params.items() if k != "fusion"}
+    if compute_dtype != jnp.float32:
+        frozen = jax.tree.map(
+            lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, frozen
+        )
+
+    # Sweep-realistic geometry: batch 32, 2048 series, 2 epochs, context 32.
+    rng = np.random.default_rng(0)
+    n, batch, epochs = 2048, 32, 2
+    data = {
+        "context": rng.normal(size=(n, 32)).astype(np.float32),
+        "horizon": rng.normal(size=(n, 32)).astype(np.float32),
+        "text": rng.normal(size=(n, 1, 384)).astype(np.float32),
+    }
+    val = {k: v[:256] for k, v in data.items()}
+
+    def hp(t):
+        r = np.random.default_rng(1)
+        return {
+            "learning_rate": r.uniform(1e-4, 1e-2, t),
+            "weight_decay": r.uniform(0.0, 0.01, t),
+            "warmup_steps": r.uniform(0, 8, t),
+        }
+
+    def run(t):
+        return run_vectorized_trials(
+            decoder,
+            frozen,
+            stack_trainables([params["fusion"]] * t),
+            data,
+            val,
+            hp(t),
+            horizon_len=32,
+            batch_size=batch,
+            num_epochs=epochs,
+            scheduler="linear",
+            seed=0,
+        )
+
+    # Sequential baseline = T=1 dispatches in a loop (same code path, no
+    # trial batching). 4 trials is enough to time it.
+    seq_trials = 4
+    run(1)  # compile
+    t0 = _time.perf_counter()
+    for _ in range(seq_trials):
+        run(1)
+    seq_per_trial = (_time.perf_counter() - t0) / seq_trials
+    _log(f"[sweep-bench] sequential: {seq_per_trial:.3f}s/trial")
+
+    run(trials)  # compile
+    t0 = _time.perf_counter()
+    run(trials)
+    vec_per_trial = (_time.perf_counter() - t0) / trials
+    _log(f"[sweep-bench] vectorized x{trials}: {vec_per_trial:.3f}s/trial")
+
+    print(
+        json.dumps(
+            {
+                "metric": "sweep_trials_per_hour_vectorized",
+                "value": round(3600.0 / vec_per_trial, 1),
+                "unit": "trials/hour",
+                "vs_baseline": round(seq_per_trial / vec_per_trial, 2),
+                "baseline_kind": f"sequential T=1 dispatches, same device ({seq_trials} trials timed)",
+                "trials": trials,
+                "sequential_s_per_trial": round(seq_per_trial, 3),
+                "vectorized_s_per_trial": round(vec_per_trial, 3),
+            }
+        )
+    )
+    return 0
+
+
 def latency_bench(dtype: str) -> int:
     """Single-request forecast latency (TimesFM 200M multimodal, context 32).
 
@@ -448,6 +551,14 @@ def main() -> int:
         help="Measure single-request forecast latency instead of training throughput.",
     )
     parser.add_argument(
+        "--sweep-bench",
+        action="store_true",
+        help="Measure vectorized vs sequential sweep-trial throughput.",
+    )
+    parser.add_argument(
+        "--sweep-trials", type=int, default=16, help="Trial count for --sweep-bench."
+    )
+    parser.add_argument(
         "--budget-seconds",
         type=float,
         default=2400.0,
@@ -467,6 +578,8 @@ def main() -> int:
         return attention_bench(args.dtype)
     if args.latency:
         return latency_bench(args.dtype)
+    if args.sweep_bench:
+        return sweep_bench(args.dtype, args.sweep_trials)
 
     if args.workloads == "all":
         names = [n for n in WORKLOADS if n not in DEFAULT_EXCLUDED]

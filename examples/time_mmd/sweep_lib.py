@@ -228,3 +228,158 @@ def train_and_evaluate(
     if training_args.checkpoint_dir.exists():
         shutil.rmtree(training_args.checkpoint_dir)
     return dict(test_metrics)
+
+
+def _structural_key(config) -> tuple:
+    """Hyperparameters that change the compiled program (group key)."""
+    num_layers, hidden = parse_fusion_hparams(config)
+    return (
+        num_layers,
+        tuple(hidden),
+        config.get("batch_size"),
+        config.get("num_epochs"),
+        config.get("lr_scheduler_type", "linear"),
+        config.get("gradient_accumulation_steps", 1),
+    )
+
+
+def train_and_evaluate_many(
+    runs: list,
+    base_training_args: TrainingArguments,
+    model_config: ModelConfig,
+    forecast_config: ForecastConfig,
+    cache_dir: Path,
+    augment_splits: set[str],
+    pretrained_dir: str | None,
+    require_pretrained_text: bool = False,
+) -> None:
+    """Vectorized sweep: train whole groups of trials in one device dispatch.
+
+    TPU-native extension over the reference's strictly-sequential agent loop:
+    sampled configs are grouped by their *structural* hyperparameters (fusion
+    architecture, batch size, epochs, schedule family, accumulation — anything
+    that changes the compiled program) and each group's trials run
+    SIMULTANEOUSLY via ``training/vectorized.run_vectorized_trials`` — the
+    frozen backbone is shared across trials, so a group of T trials costs one
+    T*B-row training run instead of T sequential B-row runs. Per-trial
+    results are logged through each run's ``.log`` exactly like
+    ``train_and_evaluate``. Multimodal mode only (baseline fine-tunes the
+    backbone per trial, which cannot share it).
+    """
+    import numpy as np
+
+    from multimodal_timesfm_tpu.data.collate import stack_samples
+    from multimodal_timesfm_tpu.training.vectorized import (
+        evaluate_vectorized,
+        run_vectorized_trials,
+        stack_trainables,
+    )
+
+    train_specs, val_specs, test_specs = fold_domain_specs(augment_splits)
+    train_dataset, val_dataset, test_dataset = load_fold_datasets(
+        train_domain_specs=train_specs,
+        val_domain_specs=val_specs,
+        test_domain_specs=test_specs,
+        text_encoder_type=model_config.fusion.text_encoder_type,
+        patch_len=model_config.adapter.patch_len,
+        context_len=forecast_config.context_len,
+        horizon_len=forecast_config.horizon_len,
+        cache_dir=cache_dir,
+        require_pretrained_embeddings=require_pretrained_text,
+    )
+
+    def as_dict(dataset):
+        stacked = stack_samples(dataset, multimodal=True)
+        return {
+            "context": stacked.context,
+            "horizon": stacked.horizon,
+            "text": stacked.text_embeddings,
+        }
+
+    train_d, val_d, test_d = as_dict(train_dataset), as_dict(val_dataset), as_dict(test_dataset)
+
+    groups: dict[tuple, list] = {}
+    for run in runs:
+        groups.setdefault(_structural_key(run.config), []).append(run)
+
+    adapter = build_adapter(model_config, pretrained_dir)
+    for key, group in groups.items():
+        num_layers, hidden, batch_size, num_epochs, scheduler, accum = key
+        training_args = override_training_args(base_training_args, group[0].config)
+        decoder = MultimodalDecoder(
+            adapter,
+            MultimodalDecoderConfig(
+                text_embedding_dims=model_config.fusion.text_embedding_dims,
+                num_fusion_layers=num_layers,
+                fusion_hidden_dims=hidden,
+            ),
+        )
+        params = init_decoder_params(decoder, pretrained_dir, training_args.seed or 0)
+        frozen = {k: v for k, v in params.items() if k != "fusion"}
+        # Sequential-driver parity: every trial starts from the same init and
+        # batch order (the per-trial variation is purely the hyperparams).
+        inits = stack_trainables([params["fusion"]] * len(group))
+
+        num_batches = -(-len(train_dataset) // batch_size)
+        total_steps = num_epochs * -(-num_batches // accum)
+        hp = {
+            "learning_rate": np.asarray(
+                [r.config.get("learning_rate", training_args.learning_rate) for r in group]
+            ),
+            "weight_decay": np.asarray(
+                [r.config.get("weight_decay", training_args.weight_decay) for r in group]
+            ),
+            "warmup_steps": np.asarray(
+                [
+                    replace(
+                        training_args, warmup_steps=r.config.get("warmup_steps", 0)
+                    ).get_warmup_steps(total_steps)
+                    for r in group
+                ],
+                np.float32,
+            ),
+        }
+        _logger.info(
+            "Vectorized group %s: %d trial(s) in one dispatch", key, len(group)
+        )
+        results = run_vectorized_trials(
+            decoder,
+            frozen,
+            inits,
+            train_d,
+            val_d,
+            hp,
+            horizon_len=forecast_config.horizon_len,
+            batch_size=batch_size,
+            num_epochs=num_epochs,
+            accum=accum,
+            scheduler=scheduler,
+            max_grad_norm=training_args.max_grad_norm,
+            seed=training_args.seed or 0,
+            seed_stride=0,
+        )
+        mse, mae = evaluate_vectorized(
+            decoder,
+            frozen,
+            results.best_trainable,
+            test_d,
+            horizon_len=forecast_config.horizon_len,
+            batch_size=training_args.per_device_eval_batch_size,
+        )
+        steps_per_epoch = -(-num_batches // accum)
+        for t, run in enumerate(group):
+            _logger.info(
+                "Run %s — best_val_loss: %.6f, test_mse: %.6f, test_mae: %.6f",
+                run.id,
+                results.best_val[t],
+                mse[t],
+                mae[t],
+            )
+            run.log(
+                {
+                    "val/best_loss": float(results.best_val[t]),
+                    "test/mse": float(mse[t]),
+                    "test/mae": float(mae[t]),
+                },
+                step=num_epochs * steps_per_epoch,
+            )

@@ -81,6 +81,33 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def build_epoch_indices(
+    n: int, batch: int, shuffle: bool, accum: int, dp: int, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Epoch permutation/weight tensors in scan layout (steps, accum, B).
+
+    Rows are padded to static shapes with index 0 / weight 0; a weighted loss
+    makes padded rows inert, reproducing the reference's partial-batch
+    semantics. ``dp`` pads the batch dim to a multiple of the data-parallel
+    axis. Shared by the trainer and the vectorized sweep runner.
+    """
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    num_batches = math.ceil(n / batch)
+    num_steps = math.ceil(num_batches / accum)
+    b_padded = math.ceil(batch / dp) * dp
+    total = num_steps * accum * b_padded
+
+    take = np.zeros(total, np.int64)
+    weights = np.zeros(total, np.float32)
+    for bi in range(num_batches):
+        real = min(batch, n - bi * batch)
+        take[bi * b_padded : bi * b_padded + real] = idx[bi * batch : bi * batch + real]
+        weights[bi * b_padded : bi * b_padded + real] = 1.0
+
+    shape = (num_steps, accum, b_padded)
+    return take.reshape(shape).astype(np.int32), weights.reshape(shape), num_batches
+
+
 class MultimodalTrainer:
     """Trainer for multimodal and baseline time-series forecasting."""
 
@@ -424,28 +451,10 @@ class MultimodalTrainer:
         return jax.tree.map(jnp.asarray, tree)
 
     def _epoch_indices(self, n: int, batch: int, shuffle: bool, accum: int):
-        """Build (perm, weights, num_batches) with scan layout (steps, accum, B).
-
-        Rows are padded to static shapes with index 0 / weight 0; the weighted
-        loss makes padded rows inert, reproducing the reference's partial-batch
-        semantics.
-        """
-        idx = self._rng.permutation(n) if shuffle else np.arange(n)
-        num_batches = math.ceil(n / batch)
-        num_steps = math.ceil(num_batches / accum)
-        b_padded = math.ceil(batch / self._dp) * self._dp
-        total = num_steps * accum * b_padded
-
-        take = np.zeros(total, np.int64)
-        weights = np.zeros(total, np.float32)
-        for bi in range(num_batches):
-            real = min(batch, n - bi * batch)
-            take[bi * b_padded : bi * b_padded + real] = idx[bi * batch : bi * batch + real]
-            weights[bi * b_padded : bi * b_padded + real] = 1.0
-
-        shape = (num_steps, accum, b_padded)
-        perm = take.reshape(shape).astype(np.int32)
-        weights = weights.reshape(shape)
+        """Device-placed (perm, weights, num_batches); see ``build_epoch_indices``."""
+        perm, weights, num_batches = build_epoch_indices(
+            n, batch, shuffle, accum, self._dp, self._rng
+        )
         if self.mesh is not None:
             rep = replicated(self.mesh)
             return jax.device_put(perm, rep), jax.device_put(weights, rep), num_batches

@@ -65,6 +65,14 @@ def parse_args() -> argparse.Namespace:
         help="Refuse embedding caches built without pretrained text-encoder "
         "weights (parity-grade evals should set this; see docs/PRETRAINED.md).",
     )
+    parser.add_argument(
+        "--vectorized",
+        action="store_true",
+        help="Train sweep trials SIMULTANEOUSLY on-device (grouped by "
+        "structural hyperparameters, vmapped over lr/weight-decay/warmup). "
+        "Offline engine + multimodal mode only; results land in the same "
+        "sweep_results.jsonl.",
+    )
     return parser.parse_args()
 
 
@@ -111,6 +119,39 @@ def main(mode: str = MODE) -> int:
             mesh=mesh,
             require_pretrained_text=args.require_pretrained_text,
         )
+
+    if args.vectorized:
+        if mode != "multimodal":
+            _logger.error(
+                "--vectorized requires multimodal mode: baseline trials each "
+                "fine-tune the full backbone, which cannot be shared across trials."
+            )
+            return 1
+        if not args.sweep_config:
+            _logger.error("--sweep-config is required for --vectorized.")
+            return 1
+        from examples.time_mmd.sweep_lib import train_and_evaluate_many
+        from multimodal_timesfm_tpu.utils.tracking import LocalRun
+
+        sweep = LocalSweep(load_yaml(args.sweep_config), Path(output_dir), seed=args.seed or 0)
+        results_path = Path(output_dir) / "sweep_results.jsonl"
+        runs = [
+            LocalRun(f"local-{t}", sweep.sample(), results_path)
+            for t in range(args.count or 1)
+        ]
+        _logger.info("Vectorized sweep: %d trial(s)", len(runs))
+        train_and_evaluate_many(
+            runs=runs,
+            base_training_args=base_training_args,
+            model_config=model_config,
+            forecast_config=forecast_config,
+            cache_dir=Path(args.cache_dir),
+            augment_splits=augment_splits,
+            pretrained_dir=args.pretrained_dir,
+            require_pretrained_text=args.require_pretrained_text,
+        )
+        _logger.info("Sweep agent finished")
+        return 0
 
     wandb = None if args.offline else try_import_wandb()
     project = f"{mode}-{model_config.adapter.type}-time-mmd"
