@@ -180,3 +180,71 @@ def test_local_sweep_end_to_end(
     final = json.loads(results[-1])
     assert "test/mse" in final and np.isfinite(final["test/mse"])
     assert "val/best_loss" in final
+
+
+def test_vectorized_sweep_matches_sequential(
+    data_root, configs, split_and_cache, tmp_path, monkeypatch
+):
+    """--vectorized trains all trials in one dispatch yet logs the same
+    per-trial val/best_loss as the sequential driver (same sampled configs)."""
+    import scripts.tune_time_mmd_sweep as sweep_mod
+
+    outs = {}
+    for label, extra in (("seq", []), ("vec", ["--vectorized"])):
+        out_dir = tmp_path / f"sweep_{label}"
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "tune",
+                "--sweep-config", str(configs / "sweep.yml"),
+                "--count", "2",
+                "--model-config", str(configs / "model.yml"),
+                "--forecast-config", str(configs / "forecast.yml"),
+                "--cache-dir", str(split_and_cache),
+                "--offline",
+                "--output-dir", str(out_dir),
+                "--seed", "0",
+            ] + extra,
+        )
+        assert sweep_mod.main(mode="multimodal") == 0
+        rows = [
+            json.loads(line)
+            for line in (out_dir / "sweep_results.jsonl").read_text().strip().splitlines()
+        ]
+        outs[label] = {
+            r["run_id"]: r for r in rows if "val/best_loss" in r
+        }
+
+    assert set(outs["seq"]) == set(outs["vec"]) == {"local-0", "local-1"}
+    for run_id in outs["seq"]:
+        np.testing.assert_allclose(
+            outs["vec"][run_id]["val/best_loss"],
+            outs["seq"][run_id]["val/best_loss"],
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            outs["vec"][run_id]["test/mse"], outs["seq"][run_id]["test/mse"], rtol=5e-3
+        )
+
+
+def test_vectorized_sweep_rejects_baseline_mode(
+    data_root, configs, split_and_cache, tmp_path, monkeypatch
+):
+    import scripts.tune_time_mmd_sweep as sweep_mod
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "tune",
+            "--sweep-config", str(configs / "sweep.yml"),
+            "--count", "1",
+            "--model-config", str(configs / "model.yml"),
+            "--forecast-config", str(configs / "forecast.yml"),
+            "--cache-dir", str(split_and_cache),
+            "--offline", "--vectorized",
+            "--output-dir", str(tmp_path / "nope"),
+        ],
+    )
+    assert sweep_mod.main(mode="baseline") == 1
