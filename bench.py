@@ -280,6 +280,10 @@ def run_workload(
 
     fused = trainer.fused_epochs_supported()
     _log(f"[bench] {name}: warmup (compile){' [fused epochs]' if fused else ''}")
+    # series_per_sec counts TRAINING series only (matching the train-only CPU
+    # baseline in BASELINE_MEASURED.json); the timed region nevertheless
+    # includes per-epoch (fused) or end-of-run (loop) validation, so the
+    # metric is conservative, never inflated by cheap forward-only val rows.
     if fused:
         # The whole fine-tune (train + per-epoch val) is ONE device dispatch.
         trainer.train_epochs_fused(epochs)
@@ -287,7 +291,6 @@ def run_workload(
         with trace(profile_dir or ".", enabled=bool(profile_dir)):
             trainer.train_epochs_fused(epochs)
         elapsed = time.perf_counter() - t0
-        total_series = (samples + len(trainer.val_data)) * epochs
     else:
         trainer.train_epoch()
         trainer.validate_epoch()
@@ -297,7 +300,7 @@ def run_workload(
                 trainer.train_epoch()
             trainer.validate_epoch()
         elapsed = time.perf_counter() - t0
-        total_series = samples * epochs + len(trainer.val_data)
+    total_series = samples * epochs
     series_per_sec = total_series / elapsed
 
     flops_fn = timesfm_flops_per_series if backbone == "timesfm" else chronos_flops_per_series
@@ -572,6 +575,8 @@ def main() -> int:
     for kv in args.arch:
         key, _, value = kv.partition("=")
         arch_cli[key] = int(value)
+    if arch_cli and args.tiny:
+        parser.error("--arch is ignored under --tiny (tiny pins its own geometry)")
 
     _enable_compile_cache()
     if args.attention_bench:

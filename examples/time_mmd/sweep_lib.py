@@ -230,16 +230,21 @@ def train_and_evaluate(
     return dict(test_metrics)
 
 
-def _structural_key(config) -> tuple:
-    """Hyperparameters that change the compiled program (group key)."""
+def _structural_key(config, base: TrainingArguments) -> tuple:
+    """Hyperparameters that change the compiled program (group key).
+
+    Unsampled values fall back to ``base`` exactly like the sequential
+    driver's ``override_training_args``.
+    """
     num_layers, hidden = parse_fusion_hparams(config)
+    args = override_training_args(base, config)
     return (
         num_layers,
         tuple(hidden),
-        config.get("batch_size"),
-        config.get("num_epochs"),
-        config.get("lr_scheduler_type", "linear"),
-        config.get("gradient_accumulation_steps", 1),
+        args.per_device_train_batch_size,
+        args.num_train_epochs,
+        args.lr_scheduler_type,
+        args.gradient_accumulation_steps,
     )
 
 
@@ -275,6 +280,13 @@ def train_and_evaluate_many(
         stack_trainables,
     )
 
+    if base_training_args.loss_type != "mse":
+        raise NotImplementedError(
+            f"Vectorized sweeps train the MSE objective only; got "
+            f"loss_type={base_training_args.loss_type!r}. Use the sequential engine "
+            "for quantile fine-tuning."
+        )
+
     train_specs, val_specs, test_specs = fold_domain_specs(augment_splits)
     train_dataset, val_dataset, test_dataset = load_fold_datasets(
         train_domain_specs=train_specs,
@@ -298,12 +310,24 @@ def train_and_evaluate_many(
 
     train_d, val_d, test_d = as_dict(train_dataset), as_dict(val_dataset), as_dict(test_dataset)
 
+    # Per-trial failure isolation, like LocalSweep.agent: a config that fails
+    # validation logs its error and is excluded; the rest still train.
     groups: dict[tuple, list] = {}
+    failures = 0
     for run in runs:
-        groups.setdefault(_structural_key(run.config), []).append(run)
+        try:
+            key = _structural_key(run.config, base_training_args)
+        except Exception as e:  # noqa: BLE001 - trial isolation
+            failures += 1
+            _logger.warning("Trial %s failed config validation: %s", run.id, e)
+            run.log({"error": f"{type(e).__name__}: {e}"})
+            continue
+        groups.setdefault(key, []).append(run)
+    if runs and not groups:
+        raise RuntimeError(f"All {failures} vectorized sweep trial(s) failed validation")
 
     adapter = build_adapter(model_config, pretrained_dir)
-    for key, group in groups.items():
+    def _run_group(key, group):
         num_layers, hidden, batch_size, num_epochs, scheduler, accum = key
         training_args = override_training_args(base_training_args, group[0].config)
         decoder = MultimodalDecoder(
@@ -322,18 +346,20 @@ def train_and_evaluate_many(
 
         num_batches = -(-len(train_dataset) // batch_size)
         total_steps = num_epochs * -(-num_batches // accum)
+        # Per-trial continuous hyperparams; unsampled values fall back to the
+        # BASE args (same resolution as override_training_args per trial).
         hp = {
             "learning_rate": np.asarray(
-                [r.config.get("learning_rate", training_args.learning_rate) for r in group]
+                [r.config.get("learning_rate", base_training_args.learning_rate) for r in group]
             ),
             "weight_decay": np.asarray(
-                [r.config.get("weight_decay", training_args.weight_decay) for r in group]
+                [r.config.get("weight_decay", base_training_args.weight_decay) for r in group]
             ),
             "warmup_steps": np.asarray(
                 [
-                    replace(
-                        training_args, warmup_steps=r.config.get("warmup_steps", 0)
-                    ).get_warmup_steps(total_steps)
+                    override_training_args(base_training_args, r.config).get_warmup_steps(
+                        total_steps
+                    )
                     for r in group
                 ],
                 np.float32,
@@ -357,6 +383,7 @@ def train_and_evaluate_many(
             max_grad_norm=training_args.max_grad_norm,
             seed=training_args.seed or 0,
             seed_stride=0,
+            eval_batch_size=training_args.per_device_eval_batch_size,
         )
         mse, mae = evaluate_vectorized(
             decoder,
@@ -383,3 +410,16 @@ def train_and_evaluate_many(
                 },
                 step=num_epochs * steps_per_epoch,
             )
+
+    # Group-level failure isolation: one failing group logs its error to all
+    # of its trials; the other groups still run.
+    for key, group in groups.items():
+        try:
+            _run_group(key, group)
+        except Exception as e:  # noqa: BLE001 - trial isolation
+            failures += len(group)
+            _logger.warning("Vectorized group %s failed: %s", key, e)
+            for run in group:
+                run.log({"error": f"{type(e).__name__}: {e}"})
+    if runs and failures == len(runs):
+        raise RuntimeError(f"All {failures} vectorized sweep trial(s) failed")

@@ -781,7 +781,27 @@ class MultimodalTrainer:
             )
             if self._wandb_run is not None:
                 gs = step0 + (e + 1) * steps_per_epoch
-                if self.args.logging_strategy == "epoch":
+                if self.args.logging_strategy == "steps":
+                    # Reconstruct the loop path's per-step logs from the loss
+                    # matrix (train_epoch does the same post-hoc).
+                    accum = self.args.gradient_accumulation_steps
+                    num_batches = train_losses.shape[1]
+                    every = max(self.args.logging_steps, 1)
+                    for s in range(steps_per_epoch):
+                        step_gs = step0 + e * steps_per_epoch + s + 1
+                        if step_gs % every == 0:
+                            last_real = min(accum, num_batches - s * accum) - 1
+                            self._wandb_run.log(
+                                {
+                                    "train/loss": float(
+                                        train_losses[e, s * accum + max(last_real, 0)]
+                                    ),
+                                    "train/lr": float(self.schedule(step_gs - 1)),
+                                },
+                                step=step_gs,
+                            )
+                    self._wandb_run.log({"val/loss": val_loss}, step=gs)
+                elif self.args.logging_strategy == "epoch":
                     lr = float(self.schedule(gs - steps_per_epoch))
                     self._wandb_run.log(
                         {"train/loss": train_loss, "train/lr": lr, "val/loss": val_loss},
@@ -794,11 +814,17 @@ class MultimodalTrainer:
             self.best_val_loss = self._fused_best["val"]
         if self.args.save_strategy == "best" and improved:
             # Save once, with the device-tracked best trainable subtree.
-            live = self.state
+            # epoch AND global_step record the best epoch's position (loop
+            # parity); the optimizer state is end-of-run — the one documented
+            # fused divergence (train_epochs_fused docstring).
+            live_state, live_step = self.state, self.global_step
             self.state = TrainState(self._fused_best["trainable"], self.state.opt_state)
             self.current_epoch = self._fused_best["epoch"]
+            self.global_step = step0 + (
+                self._fused_best["epoch"] - self.start_epoch + 1
+            ) * steps_per_epoch
             checkpoint = self._build_checkpoint()
-            self.state = live
+            self.state, self.global_step = live_state, live_step
             self.current_epoch = self.args.num_train_epochs - 1
             save_checkpoint(
                 self.args.checkpoint_dir / "best_model.ckpt", checkpoint, backend=self.ckpt_backend

@@ -109,83 +109,21 @@ def adamw_update(
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
-class TrialResults:
-    """Per-trial outputs; arrays lead with the trial axis T."""
-
-    train_losses: np.ndarray  # (T, E, num_micro_batches)
-    val_losses: np.ndarray  # (T, E)
-    best_val: np.ndarray  # (T,)
-    best_epoch: np.ndarray  # (T,) int
-    best_trainable: Pytree  # leaves (T, ...)
+# Jitted vectorized-training executables keyed by (model, structural config).
+# Returning the SAME callable for repeated calls lets jax's jit cache hit the
+# compiled executable instead of retracing a fresh closure every invocation
+# (keyed by id(model): decoders are long-lived in the sweep driver/bench).
+_FUSED_CACHE: dict[tuple, Any] = {}
 
 
-def run_vectorized_trials(
-    model,
-    frozen: Params,
-    trainable_inits: Pytree,
-    train_data: dict,
-    val_data: dict,
-    hyperparams: dict,
-    *,
-    horizon_len: int,
-    batch_size: int,
-    num_epochs: int,
-    accum: int = 1,
-    scheduler: str = "linear",
-    max_grad_norm: float = 1.0,
-    trainable_key: str = "fusion",
-    seed: int = 0,
-    seed_stride: int = 1,
-) -> TrialResults:
-    """Train T trials simultaneously (one jitted dispatch).
+def _fused_trials_fn(
+    model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm
+):
+    key = (id(model), trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm)
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
 
-    Args:
-        model: a ``MultimodalDecoder``-like callable
-            ``model(params, horizon, context, masks, text)``.
-        frozen: the non-trained params subtrees, SHARED across trials.
-        trainable_inits: the trained subtree with a leading (T, ...) axis —
-            stack per-trial inits with ``stack_trainables``.
-        train_data / val_data: dicts with "context"/"horizon" (+ "text")
-            arrays, shared across trials (e.g. from ``StackedDataset``).
-        hyperparams: arrays of shape (T,): "learning_rate", "weight_decay",
-            "warmup_steps" (already resolved to steps, float).
-        scheduler: "linear" | "cosine" (shared — structural).
-
-    Returns:
-        TrialResults with the device-tracked best trainable per trial.
-    """
-    t_trials = int(np.shape(hyperparams["learning_rate"])[0])
-    n_train = int(train_data["context"].shape[0])
-    n_val = int(val_data["context"].shape[0])
-
-    # Per-trial permutation streams. Trial t draws from
-    # default_rng(seed + t * seed_stride) exactly like a
-    # MultimodalTrainer(seed=...) would, so a T=1 run reproduces the
-    # trainer's batch order bit-for-bit. ``seed_stride=0`` gives every trial
-    # the SAME batch order — what the sequential sweep driver does (each
-    # trial builds a trainer with the same seed).
-    perms, weightss = [], []
-    num_batches = None
-    for t in range(t_trials):
-        rng = np.random.default_rng(seed + t * seed_stride)
-        ep_p, ep_w = [], []
-        for _ in range(num_epochs):
-            p, w, num_batches = build_epoch_indices(n_train, batch_size, True, accum, 1, rng)
-            ep_p.append(p)
-            ep_w.append(w)
-        perms.append(np.stack(ep_p))
-        weightss.append(np.stack(ep_w))
-    perm = jnp.asarray(np.stack(perms))  # (T, E, steps, accum, B)
-    weights = jnp.asarray(np.stack(weightss))
-    val_p, val_w, val_nb = build_epoch_indices(
-        n_val, batch_size, False, 1, 1, np.random.default_rng(0)
-    )
-    val_perm, val_weights = jnp.asarray(val_p[:, 0]), jnp.asarray(val_w[:, 0])
-
-    total_steps = num_epochs * math.ceil(num_batches / accum)
-
-    # NOTE: ``frozen`` (and the datasets) are threaded as explicit jit
+    # NOTE: ``frozen`` and the datasets are threaded as explicit jit
     # arguments, never closed over — closure arrays are embedded into the
     # serialized program as constants, which blows up compile payloads by the
     # full backbone size (observed: remote-compile rejects 200M-backbone
@@ -205,7 +143,7 @@ def run_vectorized_trials(
         text = data["text"][idx] if "text" in data else None
         return grad_fn(trainable, frozen, data["context"][idx], data["horizon"][idx], text, w)
 
-    def trial_fn(carry0, hp, perm, weights, frozen, data, vdata):
+    def trial_fn(carry0, hp, perm, weights, frozen, data, vdata, val_perm, val_weights, val_nb):
         def epoch(carry, xs):
             p, w = xs
 
@@ -260,6 +198,94 @@ def run_vectorized_trials(
         carry, (train_losses, val_losses) = jax.lax.scan(epoch, carry0, (perm, weights))
         return carry, train_losses, val_losses
 
+    fused = jax.jit(
+        jax.vmap(
+            trial_fn, in_axes=(0, 0, 0, 0, None, None, None, None, None, None)
+        ),
+        donate_argnums=(0,),
+        static_argnums=(9,),
+    )
+    _FUSED_CACHE[key] = fused
+    return fused
+
+
+@dataclasses.dataclass
+class TrialResults:
+    """Per-trial outputs; arrays lead with the trial axis T."""
+
+    train_losses: np.ndarray  # (T, E, num_micro_batches)
+    val_losses: np.ndarray  # (T, E)
+    best_val: np.ndarray  # (T,)
+    best_epoch: np.ndarray  # (T,) int
+    best_trainable: Pytree  # leaves (T, ...)
+
+
+def run_vectorized_trials(
+    model,
+    frozen: Params,
+    trainable_inits: Pytree,
+    train_data: dict,
+    val_data: dict,
+    hyperparams: dict,
+    *,
+    horizon_len: int,
+    batch_size: int,
+    num_epochs: int,
+    accum: int = 1,
+    scheduler: str = "linear",
+    max_grad_norm: float = 1.0,
+    trainable_key: str = "fusion",
+    seed: int = 0,
+    seed_stride: int = 1,
+    eval_batch_size: int | None = None,
+) -> TrialResults:
+    """Train T trials simultaneously (one jitted dispatch).
+
+    Args:
+        model: a ``MultimodalDecoder``-like callable
+            ``model(params, horizon, context, masks, text)``.
+        frozen: the non-trained params subtrees, SHARED across trials.
+        trainable_inits: the trained subtree with a leading (T, ...) axis —
+            stack per-trial inits with ``stack_trainables``.
+        train_data / val_data: dicts with "context"/"horizon" (+ "text")
+            arrays, shared across trials (e.g. from ``StackedDataset``).
+        hyperparams: arrays of shape (T,): "learning_rate", "weight_decay",
+            "warmup_steps" (already resolved to steps, float).
+        scheduler: "linear" | "cosine" (shared — structural).
+
+    Returns:
+        TrialResults with the device-tracked best trainable per trial.
+    """
+    t_trials = int(np.shape(hyperparams["learning_rate"])[0])
+    n_train = int(train_data["context"].shape[0])
+    n_val = int(val_data["context"].shape[0])
+
+    # Per-trial permutation streams. Trial t draws from
+    # default_rng(seed + t * seed_stride) exactly like a
+    # MultimodalTrainer(seed=...) would, so a T=1 run reproduces the
+    # trainer's batch order bit-for-bit. ``seed_stride=0`` gives every trial
+    # the SAME batch order — what the sequential sweep driver does (each
+    # trial builds a trainer with the same seed).
+    perms, weightss = [], []
+    num_batches = None
+    for t in range(t_trials):
+        rng = np.random.default_rng(seed + t * seed_stride)
+        ep_p, ep_w = [], []
+        for _ in range(num_epochs):
+            p, w, num_batches = build_epoch_indices(n_train, batch_size, True, accum, 1, rng)
+            ep_p.append(p)
+            ep_w.append(w)
+        perms.append(np.stack(ep_p))
+        weightss.append(np.stack(ep_w))
+    perm = jnp.asarray(np.stack(perms))  # (T, E, steps, accum, B)
+    weights = jnp.asarray(np.stack(weightss))
+    val_p, val_w, val_nb = build_epoch_indices(
+        n_val, eval_batch_size or batch_size, False, 1, 1, np.random.default_rng(0)
+    )
+    val_perm, val_weights = jnp.asarray(val_p[:, 0]), jnp.asarray(val_w[:, 0])
+
+    total_steps = num_epochs * math.ceil(num_batches / accum)
+
     carry0 = {
         "state": (trainable_inits, jax.vmap(adamw_init)(trainable_inits)),
         "best_val": jnp.full((t_trials,), jnp.finfo(jnp.float32).max, jnp.float32),
@@ -270,11 +296,11 @@ def run_vectorized_trials(
     hp = {k: jnp.asarray(v, jnp.float32) for k, v in hyperparams.items()}
 
     frozen_dev = jax.tree.map(jnp.asarray, frozen)
-    fused = jax.jit(
-        jax.vmap(trial_fn, in_axes=(0, 0, 0, 0, None, None, None)), donate_argnums=(0,)
+    fused = _fused_trials_fn(
+        model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm
     )
     carry, train_losses, val_losses = fused(
-        carry0, hp, perm, weights, frozen_dev, data, vdata
+        carry0, hp, perm, weights, frozen_dev, data, vdata, val_perm, val_weights, val_nb
     )
 
     loss_cube = np.asarray(train_losses)  # (T, E, steps, accum)

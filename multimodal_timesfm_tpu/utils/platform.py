@@ -18,3 +18,21 @@ def apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+
+def enable_compile_cache(cache_dir: str | os.PathLike | None = None) -> None:
+    """Persistent XLA compilation cache (repeat runs skip slow compiles).
+
+    Defaults to ``$MTT_COMPILE_CACHE`` or ``~/.cache/multimodal_timesfm_tpu/jax``.
+    Safe to call before any computation in CLI entry points; on-disk entries
+    are keyed by program + compiler version, so stale hits are not a concern.
+    """
+    from pathlib import Path
+
+    import jax
+
+    path = Path(cache_dir or os.environ.get("MTT_COMPILE_CACHE", "")
+                or Path.home() / ".cache" / "multimodal_timesfm_tpu" / "jax")
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

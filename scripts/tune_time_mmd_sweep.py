@@ -131,8 +131,10 @@ def main(mode: str = MODE) -> int:
             _logger.error("--sweep-config is required for --vectorized.")
             return 1
         from examples.time_mmd.sweep_lib import train_and_evaluate_many
+        from multimodal_timesfm_tpu.utils.platform import enable_compile_cache
         from multimodal_timesfm_tpu.utils.tracking import LocalRun
 
+        enable_compile_cache()
         sweep = LocalSweep(load_yaml(args.sweep_config), Path(output_dir), seed=args.seed or 0)
         results_path = Path(output_dir) / "sweep_results.jsonl"
         runs = [

@@ -182,8 +182,9 @@ def test_local_sweep_end_to_end(
     assert "val/best_loss" in final
 
 
+@pytest.mark.parametrize("model_yml", ["model.yml", "chronos.yml"])
 def test_vectorized_sweep_matches_sequential(
-    data_root, configs, split_and_cache, tmp_path, monkeypatch
+    data_root, configs, split_and_cache, tmp_path, monkeypatch, model_yml
 ):
     """--vectorized trains all trials in one dispatch yet logs the same
     per-trial val/best_loss as the sequential driver (same sampled configs)."""
@@ -199,7 +200,7 @@ def test_vectorized_sweep_matches_sequential(
                 "tune",
                 "--sweep-config", str(configs / "sweep.yml"),
                 "--count", "2",
-                "--model-config", str(configs / "model.yml"),
+                "--model-config", str(configs / model_yml),
                 "--forecast-config", str(configs / "forecast.yml"),
                 "--cache-dir", str(split_and_cache),
                 "--offline",

@@ -381,3 +381,48 @@ def test_fused_epochs_nonfinite_raises(tmp_path, mesh):
     assert trainer.fused_epochs_supported()
     with pytest.raises(FloatingPointError, match="epoch"):
         trainer.train()
+
+
+class _FakeRun:
+    def __init__(self):
+        self.records = []
+
+    def log(self, metrics, step=None):
+        self.records.append((step, dict(metrics)))
+
+
+def test_fused_step_logging_matches_loop(tmp_path, mesh):
+    """logging_strategy='steps' produces the same wandb records on both paths."""
+
+    def run(sub, fuse):
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(0))
+        fake = _FakeRun()
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(
+                tmp_path / sub,
+                num_train_epochs=2,
+                save_strategy="no",
+                load_best_model_at_end=False,
+                logging_strategy="steps",
+                logging_steps=1,
+            ),
+            train_dataset=PreprocessedDataset(_make_samples(20, 0), "multimodal"),
+            val_dataset=PreprocessedDataset(_make_samples(8, 1), "multimodal"),
+            mode="multimodal",
+            mesh=mesh,
+            wandb_run=fake,
+            fuse_epochs=fuse,
+        )
+        trainer.train()
+        return fake.records
+
+    loop = run("loop", False)
+    fused = run("fused", None)
+    assert [s for s, _ in loop] == [s for s, _ in fused]
+    for (ls, lm), (fs, fm) in zip(loop, fused):
+        assert lm.keys() == fm.keys()
+        for k in lm:
+            np.testing.assert_allclose(lm[k], fm[k], rtol=1e-5, atol=1e-7)
