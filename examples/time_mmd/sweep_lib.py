@@ -257,6 +257,7 @@ def train_and_evaluate_many(
     augment_splits: set[str],
     pretrained_dir: str | None,
     require_pretrained_text: bool = False,
+    mesh=None,
 ) -> None:
     """Vectorized sweep: train whole groups of trials in one device dispatch.
 
@@ -365,6 +366,16 @@ def train_and_evaluate_many(
                 np.float32,
             ),
         }
+        # Shard the trial axis over the mesh when the group divides evenly;
+        # otherwise run the group single-device (trials stay correct either way).
+        group_mesh = mesh
+        if mesh is not None and len(group) % mesh.shape["data"] != 0:
+            _logger.info(
+                "Group of %d trials not divisible by mesh data axis (%d); running unsharded",
+                len(group),
+                mesh.shape["data"],
+            )
+            group_mesh = None
         _logger.info(
             "Vectorized group %s: %d trial(s) in one dispatch", key, len(group)
         )
@@ -384,6 +395,7 @@ def train_and_evaluate_many(
             seed=training_args.seed or 0,
             seed_stride=0,
             eval_batch_size=training_args.per_device_eval_batch_size,
+            mesh=group_mesh,
         )
         mse, mae = evaluate_vectorized(
             decoder,

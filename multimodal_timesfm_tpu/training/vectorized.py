@@ -238,6 +238,7 @@ def run_vectorized_trials(
     seed: int = 0,
     seed_stride: int = 1,
     eval_batch_size: int | None = None,
+    mesh=None,
 ) -> TrialResults:
     """Train T trials simultaneously (one jitted dispatch).
 
@@ -252,6 +253,11 @@ def run_vectorized_trials(
         hyperparams: arrays of shape (T,): "learning_rate", "weight_decay",
             "warmup_steps" (already resolved to steps, float).
         scheduler: "linear" | "cosine" (shared — structural).
+        mesh: optional ``jax.sharding.Mesh``; the TRIAL axis shards over its
+            ``data`` axis (frozen backbone + datasets replicated), so sweeps
+            scale across chips with zero inter-chip communication — trials
+            are embarrassingly parallel. Requires T divisible by the data
+            axis size.
 
     Returns:
         TrialResults with the device-tracked best trainable per trial.
@@ -296,6 +302,19 @@ def run_vectorized_trials(
     hp = {k: jnp.asarray(v, jnp.float32) for k, v in hyperparams.items()}
 
     frozen_dev = jax.tree.map(jnp.asarray, frozen)
+    if mesh is not None:
+        dp = mesh.shape["data"]
+        if t_trials % dp != 0:
+            raise ValueError(
+                f"trial count ({t_trials}) must be divisible by the mesh data axis "
+                f"({dp}) to shard trials across devices"
+            )
+        trial_sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        carry0, hp, perm, weights = jax.device_put((carry0, hp, perm, weights), trial_sharding)
+        frozen_dev, data, vdata, val_perm, val_weights = jax.device_put(
+            (frozen_dev, data, vdata, val_perm, val_weights), rep
+        )
     fused = _fused_trials_fn(
         model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm
     )

@@ -151,6 +151,7 @@ def main(mode: str = MODE) -> int:
             augment_splits=augment_splits,
             pretrained_dir=args.pretrained_dir,
             require_pretrained_text=args.require_pretrained_text,
+            mesh=mesh,
         )
         _logger.info("Sweep agent finished")
         return 0

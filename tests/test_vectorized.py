@@ -213,3 +213,57 @@ def test_evaluate_vectorized_matches_evaluator():
     )
     np.testing.assert_allclose(mse[0], ref["mse"], rtol=1e-5)
     np.testing.assert_allclose(mae[0], ref["mae"], rtol=1e-5)
+
+
+def test_trial_axis_shards_over_mesh():
+    """Trials sharded over the mesh data axis == the unsharded run.
+
+    Sweeps scale across chips with zero communication: the trial axis is
+    embarrassingly parallel (frozen backbone + data replicated).
+    """
+    from multimodal_timesfm_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    decoder = _decoder()
+    params = decoder.init(jax.random.key(0))
+    frozen = {k: v for k, v in params.items() if k != "fusion"}
+    train_s, val_s = _make_samples(16, 0), _make_samples(8, 1)
+    t = 8
+    rng = np.random.default_rng(5)
+    hp = {
+        "learning_rate": rng.uniform(1e-3, 1e-2, t),
+        "weight_decay": rng.uniform(0.0, 0.01, t),
+        "warmup_steps": rng.uniform(0, 2, t),
+    }
+    inits = stack_trainables(
+        [decoder.init(jax.random.key(10 + i))["fusion"] for i in range(t)]
+    )
+    kw = dict(horizon_len=HORIZON, batch_size=8, num_epochs=2, scheduler="linear", seed=0)
+
+    plain = run_vectorized_trials(
+        decoder, frozen, inits, _data(train_s), _data(val_s), hp, **kw
+    )
+    sharded = run_vectorized_trials(
+        decoder,
+        frozen,
+        stack_trainables([decoder.init(jax.random.key(10 + i))["fusion"] for i in range(t)]),
+        _data(train_s),
+        _data(val_s),
+        hp,
+        mesh=mesh,
+        **kw,
+    )
+    np.testing.assert_allclose(sharded.val_losses, plain.val_losses, rtol=1e-5)
+    np.testing.assert_allclose(sharded.best_val, plain.best_val, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        run_vectorized_trials(
+            decoder,
+            frozen,
+            stack_trainables([params["fusion"]] * 3),
+            _data(train_s),
+            _data(val_s),
+            {k: v[:3] for k, v in hp.items()},
+            mesh=mesh,
+            **kw,
+        )
