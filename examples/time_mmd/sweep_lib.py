@@ -281,13 +281,6 @@ def train_and_evaluate_many(
         stack_trainables,
     )
 
-    if base_training_args.loss_type != "mse":
-        raise NotImplementedError(
-            f"Vectorized sweeps train the MSE objective only; got "
-            f"loss_type={base_training_args.loss_type!r}. Use the sequential engine "
-            "for quantile fine-tuning."
-        )
-
     train_specs, val_specs, test_specs = fold_domain_specs(augment_splits)
     train_dataset, val_dataset, test_dataset = load_fold_datasets(
         train_domain_specs=train_specs,
@@ -396,6 +389,7 @@ def train_and_evaluate_many(
             seed_stride=0,
             eval_batch_size=training_args.per_device_eval_batch_size,
             mesh=group_mesh,
+            loss_type=training_args.loss_type,
         )
         mse, mae = evaluate_vectorized(
             decoder,

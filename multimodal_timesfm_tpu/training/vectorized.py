@@ -117,9 +117,13 @@ _FUSED_CACHE: dict[tuple, Any] = {}
 
 
 def _fused_trials_fn(
-    model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm
+    model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm,
+    loss_type="mse",
 ):
-    key = (id(model), trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm)
+    key = (
+        id(model), trainable_key, horizon_len, accum, scheduler, total_steps,
+        max_grad_norm, loss_type,
+    )
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
 
@@ -129,13 +133,27 @@ def _fused_trials_fn(
     # full backbone size (observed: remote-compile rejects 200M-backbone
     # programs outright).
     def loss_fn(trainable, frozen, context, horizon, text, w):
+        """Same objectives as ``MultimodalTrainer._loss_fn`` (mse | quantile)."""
         params = dict(frozen)
         params[trainable_key] = trainable
         masks = jnp.zeros_like(context, dtype=bool)
-        point = model(params, horizon_len, context, masks, text)
-        err = (point.astype(jnp.float32) - horizon) ** 2
         denom = jnp.maximum(jnp.sum(w) * horizon_len, 1.0)
-        return jnp.sum(err * w[:, None]) / denom
+        if loss_type == "mse":
+            point = model(params, horizon_len, context, masks, text)
+            err = (point.astype(jnp.float32) - horizon) ** 2
+            return jnp.sum(err * w[:, None]) / denom
+        full = model.forward_full(params, horizon_len, context, masks, text)
+        full = full.astype(jnp.float32)
+        levels, mean_channel = model.adapter.quantile_loss_spec
+        loss = 0.0
+        if mean_channel is not None:
+            err = (full[..., mean_channel] - horizon) ** 2
+            loss = jnp.sum(err * w[:, None]) / denom
+        q_channels = [c for c in range(full.shape[-1]) if c != mean_channel]
+        errs = horizon[..., None] - full[..., q_channels]
+        levels_arr = jnp.asarray(levels, jnp.float32)
+        pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
+        return loss + jnp.sum(pinball * w[:, None, None]) / (denom * len(levels))
 
     grad_fn = jax.value_and_grad(loss_fn)
 
@@ -239,6 +257,7 @@ def run_vectorized_trials(
     seed_stride: int = 1,
     eval_batch_size: int | None = None,
     mesh=None,
+    loss_type: str = "mse",
 ) -> TrialResults:
     """Train T trials simultaneously (one jitted dispatch).
 
@@ -316,7 +335,8 @@ def run_vectorized_trials(
             (frozen_dev, data, vdata, val_perm, val_weights), rep
         )
     fused = _fused_trials_fn(
-        model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm
+        model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm,
+        loss_type,
     )
     carry, train_losses, val_losses = fused(
         carry0, hp, perm, weights, frozen_dev, data, vdata, val_perm, val_weights, val_nb

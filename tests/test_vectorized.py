@@ -267,3 +267,51 @@ def test_trial_axis_shards_over_mesh():
             mesh=mesh,
             **kw,
         )
+
+
+def test_vectorized_quantile_loss_matches_trainer(tmp_path):
+    """loss_type='quantile' trains the same composite objective as the trainer."""
+    decoder = _decoder()
+    params = decoder.init(jax.random.key(0))
+    train_s, val_s = _make_samples(16, 0), _make_samples(8, 1)
+    seed, lr, epochs, batch = 3, 1e-2, 2, 8
+
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=jax.tree.map(lambda x: x.copy(), params),
+        args=TrainingArguments(
+            output_dir=str(tmp_path),
+            per_device_train_batch_size=batch,
+            per_device_eval_batch_size=batch,
+            num_train_epochs=epochs,
+            learning_rate=lr,
+            loss_type="quantile",
+            eval_strategy="epoch",
+            save_strategy="no",
+            logging_strategy="no",
+            seed=seed,
+        ),
+        train_dataset=PreprocessedDataset(train_s, "multimodal"),
+        val_dataset=PreprocessedDataset(val_s, "multimodal"),
+        mode="multimodal",
+    )
+    trainer_losses, _ = trainer.train_epochs_fused(epochs)
+
+    results = run_vectorized_trials(
+        decoder,
+        {k: v for k, v in params.items() if k != "fusion"},
+        stack_trainables([params["fusion"]]),
+        _data(train_s),
+        _data(val_s),
+        {
+            "learning_rate": np.asarray([lr]),
+            "weight_decay": np.asarray([0.0]),
+            "warmup_steps": np.asarray([0.0]),
+        },
+        horizon_len=HORIZON,
+        batch_size=batch,
+        num_epochs=epochs,
+        seed=seed,
+        loss_type="quantile",
+    )
+    np.testing.assert_allclose(results.train_losses[0], trainer_losses, rtol=1e-5)
