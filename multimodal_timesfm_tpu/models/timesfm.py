@@ -75,6 +75,9 @@ class TimesFMConfig:
     # lax.scan unroll over the layer stack: >1 lets XLA fuse across layer
     # boundaries at higher compile cost (compile time scales with unroll).
     scan_unroll: int = 1
+    # Rematerialize the layer stack in backward (jax.checkpoint): trades
+    # ~1/3 more FLOPs for the per-layer residual HBM traffic/memory.
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -202,6 +205,7 @@ class TimesFM2p5Adapter(TsfmAdapter):
             cfg.num_heads,
             cfg.head_dim,
             unroll=cfg.scan_unroll,
+            remat=cfg.remat,
         )
 
     def postprocess(
