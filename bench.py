@@ -67,7 +67,8 @@ def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384)
     # attention GEMMs are v+out (4*md*md) instead of qkv+out (8*md*md).
     attn_gemms = 4 * md * md if n == 1 else 8 * md * md
     stack = cfg.num_layers * (n * (attn_gemms + 4 * md * ffn) + 4 * n * n * md)
-    head = 2 * n * (md * md + 2 * md * o * q)
+    # The head projects only the LAST patch (the only one returned).
+    head = 2 * (md * md + 2 * md * o * q)
     fwd = tokenizer + stack + head
     # multimodal: frozen backbone still needs d/d(input) through every matmul
     # (one extra matmul each, ~1x fwd); fusion needs dX+dW (~3x its fwd).

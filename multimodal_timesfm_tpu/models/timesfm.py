@@ -228,15 +228,20 @@ class TimesFM2p5Adapter(TsfmAdapter):
                 "AR decode is not supported."
             )
         batch = output_embeddings.shape[0]
-        output_ts = L.residual_block(params["output_projection_point"], output_embeddings)
+        # Only the LAST patch's forecast is ever returned (reference
+        # ``timesfm.py:129``), so project only it — column-exact, and saves
+        # the head GEMMs + RevIN over the other N-1 patches.
+        output_ts = L.residual_block(
+            params["output_projection_point"], output_embeddings[:, -1:]
+        )
         output_ts = output_ts.astype(jnp.float32)
         renormed = revin(
             output_ts,
-            normalization_stats["context_mu"],
-            normalization_stats["context_sigma"],
+            normalization_stats["context_mu"][:, -1:],
+            normalization_stats["context_sigma"][:, -1:],
             reverse=True,
-        ).reshape(batch, -1, cfg.output_patch_len, cfg.num_output_channels)
-        return renormed[:, -1, :horizon, :]
+        ).reshape(batch, cfg.output_patch_len, cfg.num_output_channels)
+        return renormed[:, :horizon, :]
 
     def postprocess_quantiles(
         self,
@@ -260,12 +265,14 @@ class TimesFM2p5Adapter(TsfmAdapter):
                 f"horizon must be <= quantile_horizon ({cfg.quantile_horizon}), got {horizon}."
             )
         batch = output_embeddings.shape[0]
-        output_ts = L.residual_block(params["output_projection_quantiles"], output_embeddings)
+        output_ts = L.residual_block(
+            params["output_projection_quantiles"], output_embeddings[:, -1:]
+        )
         output_ts = output_ts.astype(jnp.float32)
         renormed = revin(
             output_ts,
-            normalization_stats["context_mu"],
-            normalization_stats["context_sigma"],
+            normalization_stats["context_mu"][:, -1:],
+            normalization_stats["context_sigma"][:, -1:],
             reverse=True,
-        ).reshape(batch, -1, cfg.quantile_horizon, cfg.num_output_channels)
-        return renormed[:, -1, :horizon, :]
+        ).reshape(batch, cfg.quantile_horizon, cfg.num_output_channels)
+        return renormed[:, :horizon, :]

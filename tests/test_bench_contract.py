@@ -58,7 +58,9 @@ def test_bench_headline_json_contract():
         env=env,
         capture_output=True,
         text=True,
-        timeout=560,
+        # Generous: the tiny CPU bench takes ~90s alone but this box has ONE
+        # core — a concurrent compile/test elsewhere starves the subprocess.
+        timeout=1500,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
