@@ -305,6 +305,14 @@ def run_workload(
     total_series = samples * epochs
     series_per_sec = total_series / elapsed
 
+    if profile_dir:
+        from multimodal_timesfm_tpu.utils.profiling import summarize_trace
+
+        summary = summarize_trace(profile_dir, top=10)
+        _log(f"[bench] {name}: device busy {summary['device_busy_ms']}ms; top ops:")
+        for op, ms, share in summary["top_ops"]:
+            _log(f"  {op}: {ms}ms ({share:.1%})")
+
     flops_fn = timesfm_flops_per_series if backbone == "timesfm" else chronos_flops_per_series
     flops = flops_fn(cfg, context, mode)
     peak = peak_flops_per_sec()

@@ -29,6 +29,67 @@ def trace(log_dir: str | Path, enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+def summarize_trace(log_dir: str | Path, top: int = 20) -> dict:
+    """Summarize the newest ``jax.profiler`` trace under ``log_dir``.
+
+    Offline-friendly alternative to TensorBoard (unavailable in air-gapped
+    deployments): parses the Chrome-trace export and aggregates device-op
+    durations, so kernel-level hotspots are inspectable from the terminal.
+
+    Returns:
+        dict with ``device_busy_ms``, ``host_ms``, ``trace_file``, and
+        ``top_ops`` — a list of ``(op_name, total_ms, share_of_device)``,
+        most expensive first, excluding the outer ``while`` loop wrappers
+        (their children are reported individually).
+    """
+    import collections
+    import gzip
+    import json
+
+    traces = sorted(Path(log_dir).rglob("*.trace.json.gz"))
+    if not traces:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    trace_file = traces[-1]
+    with gzip.open(trace_file) as f:
+        events = json.load(f).get("traceEvents", [])
+
+    pids: dict = {}
+    tids: dict = {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+
+    device_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n or "device" in n.lower()}
+    ops: collections.Counter = collections.Counter()
+    device_busy = 0.0
+    host = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        dur = e.get("dur", 0)
+        if e["pid"] in device_pids:
+            if tids.get((e["pid"], e.get("tid"))) == "XLA Ops":
+                device_busy += dur
+                if not e["name"].startswith("while"):
+                    ops[e["name"]] += dur
+        else:
+            host += dur
+
+    total_op = sum(ops.values()) or 1.0
+    return {
+        "trace_file": str(trace_file),
+        "device_busy_ms": round(device_busy / 1e3, 2),
+        "host_ms": round(host / 1e3, 2),
+        "top_ops": [
+            (name, round(dur / 1e3, 3), round(dur / total_op, 4))
+            for name, dur in ops.most_common(top)
+        ],
+    }
+
+
 @dataclass
 class Throughput:
     """Running step-time and items/sec counters."""

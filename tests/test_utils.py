@@ -88,3 +88,40 @@ def test_setup_logger_idempotent_and_file_additive(tmp_path):
     child = get_logger("unit")
     assert child.name == "multimodal_timesfm_tpu.unit"
     assert get_logger().name == "multimodal_timesfm_tpu"
+
+
+def test_summarize_trace_aggregates_device_ops(tmp_path):
+    import gzip
+    import json
+
+    from multimodal_timesfm_tpu.utils.profiling import summarize_trace
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name", "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name", "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "while.1", "ts": 0, "dur": 5000},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "fusion.7", "ts": 0, "dur": 3000},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "fusion.7", "ts": 4000, "dur": 1000},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "copy.2", "ts": 0, "dur": 1000},
+        {"ph": "X", "pid": 9, "tid": 5, "name": "python", "ts": 0, "dur": 2000},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    s = summarize_trace(tmp_path)
+    assert s["device_busy_ms"] == 10.0  # while + fusions + copy
+    assert s["host_ms"] == 2.0
+    top = dict((n, ms) for n, ms, _ in s["top_ops"])
+    assert top == {"fusion.7": 4.0, "copy.2": 1.0}  # while excluded
+
+
+def test_summarize_trace_missing_raises(tmp_path):
+    import pytest
+
+    from multimodal_timesfm_tpu.utils.profiling import summarize_trace
+
+    with pytest.raises(FileNotFoundError):
+        summarize_trace(tmp_path)
