@@ -78,7 +78,9 @@ def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384)
     return 3.0 * fwd
 
 
-def chronos_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384) -> float:
+def chronos_flops_per_series(
+    cfg, context: int, mode: str, text_dims: int = 384, horizon: int = 32
+) -> float:
     nc = context // cfg.input_patch_size
     mop = cfg.max_output_patches
     s = nc + (1 if cfg.use_reg_token else 0) + mop
@@ -86,7 +88,10 @@ def chronos_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384)
     qo = cfg.num_quantiles * cfg.output_patch_size
     embed = 2 * (nc + mop) * (3 * p * ffn + ffn * dm + 3 * p * dm)
     stack = cfg.num_layers * (s * (8 * dm * dm + 4 * dm * ffn) + 4 * s * s * dm)
-    head = 2 * mop * (dm * ffn + ffn * qo + dm * qo)
+    # The head projects only the ceil(horizon / output_patch_size) patches
+    # that survive the horizon slice.
+    head_patches = min(mop, -(-horizon // cfg.output_patch_size))
+    head = 2 * head_patches * (dm * ffn + ffn * qo + dm * qo)
     fwd = embed + stack + head
     if mode == "multimodal":
         return 2.0 * fwd + 3.0 * (2 * nc * text_dims * dm)
@@ -313,8 +318,10 @@ def run_workload(
         for op, ms, share in summary["top_ops"]:
             _log(f"  {op}: {ms}ms ({share:.1%})")
 
-    flops_fn = timesfm_flops_per_series if backbone == "timesfm" else chronos_flops_per_series
-    flops = flops_fn(cfg, context, mode)
+    if backbone == "timesfm":
+        flops = timesfm_flops_per_series(cfg, context, mode)
+    else:
+        flops = chronos_flops_per_series(cfg, context, mode, horizon=horizon)
     peak = peak_flops_per_sec()
     mfu = (series_per_sec * flops / peak) if peak else None
     result = {

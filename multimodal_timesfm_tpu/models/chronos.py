@@ -423,11 +423,17 @@ class Chronos2Adapter(TsfmAdapter):
         batch = output_embeddings.shape[0]
         q = cfg.num_quantiles
 
+        # Only the first ceil(horizon / output_patch_size) patches survive the
+        # horizon slice; the head weights are position-shared, so projecting
+        # just those is column-exact and skips the head GEMMs (and their
+        # zero-grad backward) for the other patches (62 of 64 at the
+        # reference-default horizon 32 / mop 64).
+        n_h = -(-horizon // cfg.output_patch_size)
         preds = L.residual_block(
-            params["output_patch_embedding"], output_embeddings, act=jax.nn.relu
+            params["output_patch_embedding"], output_embeddings[:, :n_h], act=jax.nn.relu
         ).astype(jnp.float32)
-        preds = preds.reshape(batch, cfg.max_output_patches, q, cfg.output_patch_size)
-        preds = jnp.transpose(preds, (0, 2, 1, 3)).reshape(batch, q, max_horizon)
+        preds = preds.reshape(batch, n_h, q, cfg.output_patch_size)
+        preds = jnp.transpose(preds, (0, 2, 1, 3)).reshape(batch, q, n_h * cfg.output_patch_size)
         preds = instance_norm_inverse(
             preds, normalization_stats["loc"], normalization_stats["scale"]
         )
