@@ -311,12 +311,17 @@ def run_workload(
     series_per_sec = total_series / elapsed
 
     if profile_dir:
-        from multimodal_timesfm_tpu.utils.profiling import summarize_trace
+        # Diagnostic only — a failed trace export must not discard the
+        # already-completed measurement (the headline JSON must always land).
+        try:
+            from multimodal_timesfm_tpu.utils.profiling import summarize_trace
 
-        summary = summarize_trace(profile_dir, top=10)
-        _log(f"[bench] {name}: device busy {summary['device_busy_ms']}ms; top ops:")
-        for op, ms, share in summary["top_ops"]:
-            _log(f"  {op}: {ms}ms ({share:.1%})")
+            summary = summarize_trace(profile_dir, top=10)
+            _log(f"[bench] {name}: device op time {summary['device_busy_ms']}ms; top ops:")
+            for op, ms, share in summary["top_ops"]:
+                _log(f"  {op}: {ms}ms ({share:.1%})")
+        except Exception as exc:  # noqa: BLE001 - diagnostics only
+            _log(f"[bench] {name}: trace summary unavailable ({exc})")
 
     if backbone == "timesfm":
         flops = timesfm_flops_per_series(cfg, context, mode)

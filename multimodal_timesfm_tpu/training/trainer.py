@@ -81,6 +81,25 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def quantile_objective(full, horizon, weights, denom, spec):
+    """Quantile training objective shared by the trainer and vectorized sweeps.
+
+    Mean pinball loss over the adapter's quantile channels, plus MSE on its
+    mean channel when one exists. ``full``: (B, H, C) fp32 forecasts;
+    ``spec``: the adapter's ``quantile_loss_spec`` = (levels, mean_channel).
+    """
+    levels, mean_channel = spec
+    loss = 0.0
+    if mean_channel is not None:
+        err = (full[..., mean_channel] - horizon) ** 2
+        loss = jnp.sum(err * weights[:, None]) / denom
+    q_channels = [c for c in range(full.shape[-1]) if c != mean_channel]
+    errs = horizon[..., None] - full[..., q_channels]  # (B, H, Q)
+    levels_arr = jnp.asarray(levels, jnp.float32)
+    pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
+    return loss + jnp.sum(pinball * weights[:, None, None]) / (denom * len(levels))
+
+
 def build_epoch_indices(
     n: int, batch: int, shuffle: bool, accum: int, dp: int, rng: np.random.Generator
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -268,17 +287,13 @@ class MultimodalTrainer:
             return jnp.sum(err * weights[:, None]) / denom
 
         full = self.model.forward_full(params, self.horizon_len, context, masks, text)
-        full = full.astype(jnp.float32)  # (B, H, C)
-        levels, mean_channel = self.model.adapter.quantile_loss_spec
-        loss = 0.0
-        if mean_channel is not None:
-            err = (full[..., mean_channel] - horizon) ** 2
-            loss = jnp.sum(err * weights[:, None]) / denom
-        q_channels = [c for c in range(full.shape[-1]) if c != mean_channel]
-        errs = horizon[..., None] - full[..., q_channels]  # (B, H, Q)
-        levels_arr = jnp.asarray(levels, jnp.float32)
-        pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
-        return loss + jnp.sum(pinball * weights[:, None, None]) / (denom * len(levels))
+        return quantile_objective(
+            full.astype(jnp.float32),
+            horizon,
+            weights,
+            denom,
+            self.model.adapter.quantile_loss_spec,
+        )
 
     def _batch_constraint(self, tree):
         """Constrain a gathered micro-batch to data-axis sharding (no-op without a mesh)."""

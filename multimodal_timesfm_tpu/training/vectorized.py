@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_timesfm_tpu.models.base import Params
-from multimodal_timesfm_tpu.training.trainer import build_epoch_indices
+from multimodal_timesfm_tpu.training.trainer import build_epoch_indices, quantile_objective
 
 Pytree = Any
 
@@ -132,8 +132,11 @@ def _fused_trials_fn(
     # serialized program as constants, which blows up compile payloads by the
     # full backbone size (observed: remote-compile rejects 200M-backbone
     # programs outright).
+    if loss_type not in ("mse", "quantile"):
+        raise ValueError(f"Unsupported loss_type: {loss_type!r} (expected 'mse' or 'quantile')")
+
     def loss_fn(trainable, frozen, context, horizon, text, w):
-        """Same objectives as ``MultimodalTrainer._loss_fn`` (mse | quantile)."""
+        """Same objectives as ``MultimodalTrainer._loss_fn`` (shared helper)."""
         params = dict(frozen)
         params[trainable_key] = trainable
         masks = jnp.zeros_like(context, dtype=bool)
@@ -143,17 +146,9 @@ def _fused_trials_fn(
             err = (point.astype(jnp.float32) - horizon) ** 2
             return jnp.sum(err * w[:, None]) / denom
         full = model.forward_full(params, horizon_len, context, masks, text)
-        full = full.astype(jnp.float32)
-        levels, mean_channel = model.adapter.quantile_loss_spec
-        loss = 0.0
-        if mean_channel is not None:
-            err = (full[..., mean_channel] - horizon) ** 2
-            loss = jnp.sum(err * w[:, None]) / denom
-        q_channels = [c for c in range(full.shape[-1]) if c != mean_channel]
-        errs = horizon[..., None] - full[..., q_channels]
-        levels_arr = jnp.asarray(levels, jnp.float32)
-        pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
-        return loss + jnp.sum(pinball * w[:, None, None]) / (denom * len(levels))
+        return quantile_objective(
+            full.astype(jnp.float32), horizon, w, denom, model.adapter.quantile_loss_spec
+        )
 
     grad_fn = jax.value_and_grad(loss_fn)
 

@@ -66,6 +66,10 @@ class TrainingArguments:
     seed: int | None = field(default=None)
 
     def __post_init__(self) -> None:
+        if self.loss_type not in ("mse", "quantile"):
+            raise ValueError(
+                f"Unsupported loss_type: {self.loss_type!r} (expected 'mse' or 'quantile')"
+            )
         Path(self.output_dir).mkdir(parents=True, exist_ok=True)
         self.logging_dir.mkdir(parents=True, exist_ok=True)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)

@@ -39,8 +39,12 @@ def summarize_trace(log_dir: str | Path, top: int = 20) -> dict:
     Returns:
         dict with ``device_busy_ms``, ``host_ms``, ``trace_file``, and
         ``top_ops`` — a list of ``(op_name, total_ms, share_of_device)``,
-        most expensive first, excluding the outer ``while`` loop wrappers
-        (their children are reported individually).
+        most expensive first. ``while`` loop wrapper spans are excluded from
+        BOTH the busy total and the top list — their children are already
+        counted individually, so including the wrappers would double-count
+        every op that runs inside a ``lax.scan``. ``host_ms`` sums spans
+        across host threads (overlaps included) — a rough activity number,
+        not wall time.
     """
     import collections
     import gzip
@@ -71,10 +75,11 @@ def summarize_trace(log_dir: str | Path, top: int = 20) -> dict:
             continue
         dur = e.get("dur", 0)
         if e["pid"] in device_pids:
-            if tids.get((e["pid"], e.get("tid"))) == "XLA Ops":
+            if tids.get((e["pid"], e.get("tid"))) == "XLA Ops" and not e["name"].startswith(
+                "while"
+            ):
                 device_busy += dur
-                if not e["name"].startswith("while"):
-                    ops[e["name"]] += dur
+                ops[e["name"]] += dur
         else:
             host += dur
 

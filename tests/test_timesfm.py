@@ -153,3 +153,38 @@ def test_single_patch_context_matches_general_path():
     ref_out = L.dense(layer0["attn"]["out"], ref.reshape(3, 1, -1))
     np.testing.assert_allclose(np.asarray(short), np.asarray(ref_out), atol=1e-6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_matches_default_forward_and_grads():
+    """remat=True (jax.checkpoint over the layer scan) is numerically inert."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    def run(remat):
+        cfg = dataclasses.replace(TimesFMConfig.tiny(), remat=remat)
+        adapter = TimesFM2p5Adapter(cfg)
+        params = adapter.init(jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16)), jnp.float32)
+        masks = jnp.zeros((3, 16), bool)
+
+        def loss(p):
+            pre = adapter.preprocess(p, x, masks)
+            out = adapter.forward(p, pre.input_embeddings, pre.masks)
+            preds = adapter.postprocess(p, 8, out, pre.normalization_stats)
+            return jnp.sum(preds.astype(jnp.float32) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        return val, grads
+
+    v0, g0 = run(False)
+    v1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    jax.tree.map(
+        # Recompute changes float association; tolerances reflect that.
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g0,
+        g1,
+    )

@@ -112,7 +112,8 @@ def test_summarize_trace_aggregates_device_ops(tmp_path):
         json.dump({"traceEvents": events}, f)
 
     s = summarize_trace(tmp_path)
-    assert s["device_busy_ms"] == 10.0  # while + fusions + copy
+    # while-wrapper spans are excluded: their children are counted already.
+    assert s["device_busy_ms"] == 5.0
     assert s["host_ms"] == 2.0
     top = dict((n, ms) for n, ms, _ in s["top_ops"])
     assert top == {"fusion.7": 4.0, "copy.2": 1.0}  # while excluded
