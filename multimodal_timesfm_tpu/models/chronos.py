@@ -85,6 +85,13 @@ class Chronos2Config:
     quantiles: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     rel_pos_buckets: int = 32
     rel_pos_max_distance: int = 128
+    # Default attention packing for ``forward`` (segment-grouped rows, see
+    # ``forward(pack=...)``). Numerically identical to pack=1; packing k tiny
+    # per-series attention problems into one row amortizes the TPU's lane
+    # padding — measured 1.49x training throughput at pack=16 for the
+    # horizon-matched mop=2 fine-tune geometry (seq 5/row) on v5e. Batch
+    # sizes must be divisible by ``pack``.
+    pack: int = 1
     compute_dtype: Any = jnp.float32
 
     @property
@@ -336,7 +343,7 @@ class Chronos2Adapter(TsfmAdapter):
         input_embeddings: jax.Array,
         masks: jax.Array,
         *,
-        pack: int = 1,
+        pack: int | None = None,
     ) -> jax.Array:
         """Append [REG] + zero future patches, run the encoder (reference ``chronos.py:62-126``).
 
@@ -356,6 +363,8 @@ class Chronos2Adapter(TsfmAdapter):
         attention problems into fewer MXU-friendlier ones.
         """
         cfg = self.config
+        if pack is None:
+            pack = cfg.pack
         batch = input_embeddings.shape[0]
         dtype = input_embeddings.dtype
         n_out = cfg.max_output_patches

@@ -192,3 +192,21 @@ def test_max_output_patches_changes_numerics_vs_checkpoint_default():
     out_full, out_short = np.asarray(run(a_full)), np.asarray(run(a_short))
     assert out_full.shape == out_short.shape == (2, horizon, 9)
     assert not np.allclose(out_full, out_short, atol=1e-4)
+
+
+def test_config_pack_knob_matches_unpacked():
+    """cfg.pack as the forward default == explicit pack=1 (numerically)."""
+    import dataclasses
+
+    cfg = Chronos2Config.tiny()
+    packed_adapter = Chronos2Adapter(dataclasses.replace(cfg, pack=2))
+    plain_adapter = Chronos2Adapter(cfg)
+    params = plain_adapter.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    masks = jnp.zeros((4, 16), bool)
+
+    pre = plain_adapter.preprocess(params, x, masks)
+    plain = plain_adapter.forward(params, pre.input_embeddings, pre.masks)
+    packed = packed_adapter.forward(params, pre.input_embeddings, pre.masks)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), atol=1e-5)
