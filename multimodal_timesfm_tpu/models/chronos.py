@@ -88,9 +88,11 @@ class Chronos2Config:
     # Default attention packing for ``forward`` (segment-grouped rows, see
     # ``forward(pack=...)``). Numerically identical to pack=1; packing k tiny
     # per-series attention problems into one row amortizes the TPU's lane
-    # padding — measured 1.49x training throughput at pack=16 for the
-    # horizon-matched mop=2 fine-tune geometry (seq 5/row) on v5e. Batch
-    # sizes must be divisible by ``pack``.
+    # padding. Measured on v5e: pays ONLY when per-row sequences are tiny —
+    # 1.7x end-to-end at pack=16 for the mop=2 fine-tune geometry (5
+    # tokens/row), but LOSES at the default mop=64 (67 tokens/row: pack=2 is
+    # -20%, the O(s^2) attention growth dominates). Batch sizes must be
+    # divisible by ``pack``.
     pack: int = 1
     compute_dtype: Any = jnp.float32
 
