@@ -21,6 +21,35 @@ from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
 from multimodal_timesfm_tpu.types import EvaluationMetrics
 
 
+# Jitted eval executables keyed by (model, horizon): returning the SAME
+# callable across evaluate() calls lets jit reuse the traced/compiled program
+# instead of retracing a fresh closure per call (sequential sweep trials each
+# construct an evaluator over the same long-lived decoder).
+_EVAL_CACHE: dict[tuple, object] = {}
+
+
+def _eval_fn(model: MultimodalDecoder, horizon_len: int):
+    key = (id(model), horizon_len)
+    if key not in _EVAL_CACHE:
+
+        @jax.jit
+        def run(params, batches):
+            def one(_, mb):
+                masks = jnp.zeros_like(mb["context"], dtype=bool)
+                point = model(params, horizon_len, mb["context"], masks, mb.get("text"))
+                err = point.astype(jnp.float32) - mb["horizon"]
+                w = mb["weights"][:, None]
+                se = jnp.sum(err * err * w) / horizon_len
+                ae = jnp.sum(jnp.abs(err) * w) / horizon_len
+                return None, (se, ae)
+
+            _, (se, ae) = jax.lax.scan(one, None, batches)
+            return jnp.sum(se), jnp.sum(ae)
+
+        _EVAL_CACHE[key] = run
+    return _EVAL_CACHE[key]
+
+
 class MultimodalEvaluator:
     """Computes evaluation metrics for a multimodal decoder."""
 
@@ -86,19 +115,5 @@ class MultimodalEvaluator:
             )
             tree = jax.tree.map(lambda x: jax.device_put(x, spec), tree)
 
-        @jax.jit
-        def run(params, batches):
-            def one(_, mb):
-                masks = jnp.zeros_like(mb["context"], dtype=bool)
-                point = self.model(params, horizon_len, mb["context"], masks, mb.get("text"))
-                err = point.astype(jnp.float32) - mb["horizon"]
-                w = mb["weights"][:, None]
-                se = jnp.sum(err * err * w) / horizon_len
-                ae = jnp.sum(jnp.abs(err) * w) / horizon_len
-                return None, (se, ae)
-
-            _, (se, ae) = jax.lax.scan(one, None, batches)
-            return jnp.sum(se), jnp.sum(ae)
-
-        total_mse, total_mae = run(params, tree)
+        total_mse, total_mae = _eval_fn(self.model, horizon_len)(params, tree)
         return EvaluationMetrics(mse=float(total_mse) / n, mae=float(total_mae) / n)
