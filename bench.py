@@ -231,8 +231,10 @@ def build_trainer(
 
 # name -> (backbone, context, horizon, batch, samples, epochs, mode)
 WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
-    # Headline: the reference-default geometry (1 patch token).
-    "timesfm_mm_c32": ("timesfm", 32, 32, 1024, 16384, 3, "multimodal"),
+    # Headline: the reference-default geometry (1 patch token). Batch 2048
+    # measured consistently faster than 1024 on v5e (fewer fused-scan steps;
+    # 144.1k vs 128.2k series/s back-to-back).
+    "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 16384, 3, "multimodal"),
     # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
     # the epoch is dominated by AdamW update HBM traffic (~200M params x
     # grads+m+v+p fp32 per optimizer step), so fewer/bigger steps win
