@@ -238,8 +238,9 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
     # the epoch is dominated by AdamW update HBM traffic (~200M params x
     # grads+m+v+p fp32 per optimizer step), so fewer/bigger steps win
-    # (measured on v5e: batch 2048 44.5k series/s vs 1024 at 33.6-40.0k).
-    "timesfm_baseline_c32": ("timesfm", 32, 32, 2048, 8192, 2, "baseline"),
+    # (measured on v5e: 1024 -> 33.6-40.0k, 2048 -> 44.5-45.0k, 4096 ->
+    # 50.0k series/s, 8192 flat).
+    "timesfm_baseline_c32": ("timesfm", 32, 32, 4096, 8192, 2, "baseline"),
     # Attention-relevant regimes: 16 and 64 patch tokens.
     "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2, "multimodal"),
     "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2, "multimodal"),
