@@ -256,7 +256,7 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
 }
 WORKLOAD_ARCH: dict[str, dict] = {
     # pack=16: segment-packed attention amortizes lane padding for the tiny
-    # 5-token rows (numerically identical; measured 1.49x on v5e).
+    # 5-token rows (numerically identical; ~1.5-1.7x across v5e sessions).
     "chronos_mm_h32_mop2": {"max_output_patches": 2, "pack": 16},
 }
 # Excluded from --workloads all (the driver's default run): minutes-scale
@@ -284,6 +284,11 @@ def run_workload(
     samples = samples_override or samples
     arch = dict(WORKLOAD_ARCH.get(name) or {})
     arch.update(arch_override or {})
+    # pack requires batch divisibility; an overridden batch that breaks it
+    # drops the packing rather than erroring the workload out.
+    if arch.get("pack") and batch % arch["pack"] != 0:
+        _log(f"[bench] {name}: batch {batch} not divisible by pack {arch['pack']}; unpacking")
+        arch.pop("pack")
     _log(f"[bench] {name}: building trainer (context={context}, batch={batch}, mode={mode})")
     trainer, cfg = build_trainer(
         backbone, context, horizon, batch, samples, epochs + 1, tiny, dtype, mode,

@@ -89,8 +89,9 @@ class Chronos2Config:
     # ``forward(pack=...)``). Numerically identical to pack=1; packing k tiny
     # per-series attention problems into one row amortizes the TPU's lane
     # padding. Measured on v5e: pays ONLY when per-row sequences are tiny —
-    # 1.7x end-to-end at pack=16 for the mop=2 fine-tune geometry (5
-    # tokens/row), but LOSES at the default mop=64 (67 tokens/row: pack=2 is
+    # ~1.5-1.7x end-to-end (across sessions; ±15% infra variance) at pack=16
+    # for the mop=2 fine-tune geometry (5 tokens/row), but LOSES at the
+    # default mop=64 (67 tokens/row: pack=2 is
     # -20%, the O(s^2) attention growth dominates). Batch sizes must be
     # divisible by ``pack``.
     pack: int = 1
@@ -367,6 +368,8 @@ class Chronos2Adapter(TsfmAdapter):
         cfg = self.config
         if pack is None:
             pack = cfg.pack
+        if pack < 1:
+            raise ValueError(f"pack must be >= 1, got {pack}")
         batch = input_embeddings.shape[0]
         dtype = input_embeddings.dtype
         n_out = cfg.max_output_patches

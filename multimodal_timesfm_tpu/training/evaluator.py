@@ -23,14 +23,22 @@ from multimodal_timesfm_tpu.types import EvaluationMetrics
 
 # Jitted eval executables keyed by (model, horizon): returning the SAME
 # callable across evaluate() calls lets jit reuse the traced/compiled program
-# instead of retracing a fresh closure per call (sequential sweep trials each
-# construct an evaluator over the same long-lived decoder).
-_EVAL_CACHE: dict[tuple, object] = {}
+# instead of retracing a fresh closure per call. Bounded LRU: each entry's
+# closure pins its decoder + compiled executable, so eviction keeps sweeps
+# that build a fresh decoder per trial from growing memory monotonically.
+# Decoders are treated as immutable after construction (true everywhere in
+# this codebase) — mutating one and re-evaluating would serve a stale trace.
+from collections import OrderedDict
+
+_EVAL_CACHE: OrderedDict[tuple, object] = OrderedDict()
+_EVAL_CACHE_MAX = 8
 
 
 def _eval_fn(model: MultimodalDecoder, horizon_len: int):
     key = (id(model), horizon_len)
-    if key not in _EVAL_CACHE:
+    if key in _EVAL_CACHE:
+        _EVAL_CACHE.move_to_end(key)
+    else:
 
         @jax.jit
         def run(params, batches):
@@ -47,6 +55,8 @@ def _eval_fn(model: MultimodalDecoder, horizon_len: int):
             return jnp.sum(se), jnp.sum(ae)
 
         _EVAL_CACHE[key] = run
+        while len(_EVAL_CACHE) > _EVAL_CACHE_MAX:
+            _EVAL_CACHE.popitem(last=False)
     return _EVAL_CACHE[key]
 
 

@@ -111,9 +111,14 @@ def adamw_update(
 
 # Jitted vectorized-training executables keyed by (model, structural config).
 # Returning the SAME callable for repeated calls lets jax's jit cache hit the
-# compiled executable instead of retracing a fresh closure every invocation
-# (keyed by id(model): decoders are long-lived in the sweep driver/bench).
-_FUSED_CACHE: dict[tuple, Any] = {}
+# compiled executable instead of retracing a fresh closure every invocation.
+# Bounded LRU (entries pin their decoder + executables; eviction keeps
+# many-group sweeps from growing memory monotonically). Decoders are treated
+# as immutable after construction.
+from collections import OrderedDict
+
+_FUSED_CACHE: OrderedDict[tuple, Any] = OrderedDict()
+_FUSED_CACHE_MAX = 8
 
 
 def _fused_trials_fn(
@@ -125,6 +130,7 @@ def _fused_trials_fn(
         max_grad_norm, loss_type,
     )
     if key in _FUSED_CACHE:
+        _FUSED_CACHE.move_to_end(key)
         return _FUSED_CACHE[key]
 
     # NOTE: ``frozen`` and the datasets are threaded as explicit jit
@@ -219,6 +225,8 @@ def _fused_trials_fn(
         static_argnums=(9,),
     )
     _FUSED_CACHE[key] = fused
+    while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
+        _FUSED_CACHE.popitem(last=False)
     return fused
 
 
