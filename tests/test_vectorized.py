@@ -315,3 +315,21 @@ def test_vectorized_quantile_loss_matches_trainer(tmp_path):
         loss_type="quantile",
     )
     np.testing.assert_allclose(results.train_losses[0], trainer_losses, rtol=1e-5)
+
+
+def test_jit_caches_are_bounded():
+    """The keyed jit caches evict oldest entries (decoders must not accumulate)."""
+    from multimodal_timesfm_tpu.training import evaluator as ev
+    from multimodal_timesfm_tpu.training import vectorized as vz
+
+    ev._EVAL_CACHE.clear()
+    for i in range(ev._EVAL_CACHE_MAX + 3):
+        decoder = _decoder()
+        ev._eval_fn(decoder, HORIZON)
+    assert len(ev._EVAL_CACHE) == ev._EVAL_CACHE_MAX
+
+    vz._FUSED_CACHE.clear()
+    for i in range(vz._FUSED_CACHE_MAX + 2):
+        decoder = _decoder()
+        vz._fused_trials_fn(decoder, "fusion", HORIZON, 1, "linear", 4, 1.0)
+    assert len(vz._FUSED_CACHE) == vz._FUSED_CACHE_MAX
