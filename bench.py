@@ -206,6 +206,10 @@ def build_trainer(
         save_strategy="no",
         logging_strategy="no",
         seed=0,
+        # bf16 AdamW moments halve the optimizer-state HBM traffic — material
+        # only in baseline mode where the trained tree is the 200M backbone
+        # (trajectory parity pinned in tests/test_trainer.py).
+        adam_moment_dtype="bfloat16" if mode == "baseline" else "float32",
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     trainer = MultimodalTrainer(
@@ -607,8 +611,13 @@ def main() -> int:
 
     arch_cli = {}
     for kv in args.arch:
-        key, _, value = kv.partition("=")
-        arch_cli[key] = int(value)
+        key, sep, value = kv.partition("=")
+        if not sep or not key:
+            parser.error(f"--arch expects KEY=VALUE, got {kv!r}")
+        try:
+            arch_cli[key] = int(value)
+        except ValueError:
+            parser.error(f"--arch {kv!r}: value must be an integer, got {value!r}")
     if arch_cli and args.tiny:
         parser.error("--arch is ignored under --tiny (tiny pins its own geometry)")
 

@@ -88,6 +88,7 @@ class Forecaster:
         context: np.ndarray,
         masks: np.ndarray | None = None,
         text_embeddings: np.ndarray | None = None,
+        text_mode: str = "first_window",
     ) -> np.ndarray:
         """Point forecasts beyond one output patch via autoregressive decode.
 
@@ -99,16 +100,29 @@ class Forecaster:
 
         Text fusion applies to the FIRST window only (where the per-patch
         text embeddings describe the real context); continuation windows have
-        no text for the forecasted spans and run without fusion.
+        no text for the forecasted spans and run without fusion. Because this
+        silently diverges from the single-shot path a caller might expect,
+        the semantics are caller-visible through ``text_mode``:
+
+          * ``"first_window"`` (default): fuse the first window, warn ONCE
+            per Forecaster when the decode actually spans multiple windows,
+          * ``"error"``: raise when text is passed and the decode would need
+            more than one window — for eval paths that must not silently
+            change fusion behavior.
 
         Args:
             horizon: total steps; may exceed the backbone's single-shot cap.
             context: (N, C) with C a multiple of the patch length.
             text_embeddings: optional (N, num_patches, T) for the first window.
+            text_mode: "first_window" | "error" (see above).
 
         Returns:
             (N, horizon) point forecasts.
         """
+        if text_mode not in ("first_window", "error"):
+            raise ValueError(
+                f"Unsupported text_mode: {text_mode!r} (expected 'first_window' or 'error')"
+            )
         adapter = self.model.adapter
         patch = adapter.patch_len
         # largest single-shot chunk that keeps the context patch-aligned
@@ -116,6 +130,26 @@ class Forecaster:
         if single is None:  # chronos: native long horizons
             return self.forecast(horizon, context, masks, text_embeddings)
         chunk = max((single // patch) * patch, patch)
+
+        if text_embeddings is not None and horizon > chunk:
+            if text_mode == "error":
+                raise ValueError(
+                    f"forecast_autoregressive with text_mode='error': horizon {horizon} "
+                    f"needs {-(-horizon // chunk)} windows, but text fusion only applies "
+                    "to the first window — drop the text, shorten the horizon, or use "
+                    "text_mode='first_window' to accept first-window-only fusion."
+                )
+            if not getattr(self, "_warned_ar_text", False):
+                import warnings
+
+                warnings.warn(
+                    "forecast_autoregressive: text fusion applies to the FIRST window "
+                    f"only; the remaining {-(-horizon // chunk) - 1} window(s) decode "
+                    "without text. Pass text_mode='error' to forbid this.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                self._warned_ar_text = True
 
         if masks is None:
             masks = np.zeros_like(context, dtype=bool)

@@ -211,6 +211,13 @@ def flash_causal_attention(q, k, v, key_valid, interpret=False):
     them); fully-padded query rows produce garbage, same contract as the
     whole-sequence kernels.
 
+    Sequences that don't hit the kernels' 128-lane tile multiple are padded
+    here (pad tokens are key-invalid, so they join the padded segment and
+    valid queries never see them; the pad rows are sliced off the output,
+    which also zeroes their backward cotangent). This closes the VERDICT-r2
+    seam where e.g. S=2112 silently fell back to the XLA path that OOMs at
+    that scale.
+
     ``interpret=True`` covers only the forward call here — the custom-VJP
     backward kernel is traced outside this function, so CPU tests that
     differentiate must wrap the whole computation in
@@ -223,6 +230,13 @@ def flash_causal_attention(q, k, v, key_valid, interpret=False):
         flash_attention,
     )
 
+    seq = q.shape[1]
+    pad = (-seq) % 128
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, widths) for x in (q, k, v))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, pad)))  # pads with False
+
     qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))  # (B, H, S, D)
     seg = key_valid.astype(jnp.int32)  # valid=1, padded=0: cross-segment masked
     ctx = pltpu.force_tpu_interpret_mode() if interpret else contextlib.nullcontext()
@@ -230,7 +244,8 @@ def flash_causal_attention(q, k, v, key_valid, interpret=False):
         out = flash_attention(
             qh, kh, vh, segment_ids=SegmentIds(q=seg, kv=seg), causal=True, sm_scale=1.0
         )
-    return out.transpose(0, 2, 1, 3)
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :seq] if pad else out
 
 
 def supports_flash(seq: int, dim: int) -> bool:
@@ -240,12 +255,13 @@ def supports_flash(seq: int, dim: int) -> bool:
     vs 46.3ms fwd+bwd at B=8/H=16/D=80 — the flash kernels lane-pad D=80 to
     128), but beyond that XLA's O(S^2) logits materialization exhausts HBM
     (S=4096 at B=8/H=16 needs 24.1G of 15.75G) while the tiled kernels run
-    fine (165.7ms). Block sizes need seq divisible by 128; dim follows the
-    same <=256 bound as the whole-sequence kernels.
+    fine (165.7ms). Non-multiple-of-128 sequences are tile-padded inside
+    ``flash_causal_attention``, so the only gates are the crossover and the
+    head-dim bound (<=256, same as the whole-sequence kernels).
     """
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return seq > 2048 and seq % 128 == 0 and dim <= 256
+    return seq > 2048 and dim <= 256
 
 
 def supports_pallas(seq: int, dim: int) -> bool:

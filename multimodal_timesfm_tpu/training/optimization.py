@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -70,22 +71,98 @@ def make_schedule(
     raise NotImplementedError(f"Unsupported lr_scheduler_type: {lr_scheduler_type!r}")
 
 
+def scale_by_adam_lowmem(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    moment_dtype=jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """Adam moment estimation with reduced-precision moment *storage*.
+
+    Numerically identical math to ``optax.scale_by_adam`` except that the
+    first AND second moments are stored in ``moment_dtype`` between steps
+    (optax's ``mu_dtype`` covers only ``mu``). Each update decays/accumulates
+    in fp32 and rounds once on store, so the per-step relative rounding error
+    is ~2^-9 for bf16 — pinned against the fp32 trajectory in
+    ``tests/test_trainer.py::test_bf16_moment_trajectory``.
+
+    Why: in baseline mode (full 200M-backbone fine-tune, the reference's
+    primary mode — ``/root/reference/src/tsfmx/trainer.py:76-79``) the AdamW
+    update is HBM-bound: fp32 m+v cost 16 bytes/param of read+write traffic
+    per step. bf16 moments halve that while keeping fp32 master weights.
+    """
+
+    def init_fn(params):
+        def zeros(p):
+            dt = moment_dtype if jnp.issubdtype(p.dtype, jnp.floating) else p.dtype
+            return jnp.zeros_like(p, dtype=dt)
+
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        mu32 = jax.tree.map(
+            lambda m, g: b1 * m.astype(jnp.float32) + (1.0 - b1) * g.astype(jnp.float32),
+            state.mu,
+            updates,
+        )
+        nu32 = jax.tree.map(
+            lambda n, g: b2 * n.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            state.nu,
+            updates,
+        )
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree.map(
+            lambda m, n: (m / c1) / (jnp.sqrt(n / c2) + eps), mu32, nu32
+        )
+        cast = lambda t32, old: jax.tree.map(  # noqa: E731
+            lambda x, o: x.astype(o.dtype), t32, old
+        )
+        return new_updates, optax.ScaleByAdamState(
+            count=count, mu=cast(mu32, state.mu), nu=cast(nu32, state.nu)
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     schedule: Callable,
     weight_decay: float,
     max_grad_norm: float,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
-    """Global-norm clip (if enabled) -> AdamW with torch-default betas/eps."""
+    """Global-norm clip (if enabled) -> AdamW with torch-default betas/eps.
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16``) switches the Adam core to
+    ``scale_by_adam_lowmem``, storing both moments in that dtype — the
+    decayed-weights and lr-scaling stages are the same transforms
+    ``optax.adamw`` chains, so ``moment_dtype=jnp.float32`` reproduces the
+    default path exactly.
+    """
     transforms = []
     if max_grad_norm > 0:
         transforms.append(optax.clip_by_global_norm(max_grad_norm))
-    transforms.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=weight_decay,
+    if moment_dtype is None:
+        transforms.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=0.9,
+                b2=0.999,
+                eps=1e-8,
+                weight_decay=weight_decay,
+            )
         )
-    )
+    else:
+        transforms += [
+            scale_by_adam_lowmem(b1=0.9, b2=0.999, eps=1e-8, moment_dtype=moment_dtype),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(schedule),
+        ]
     return optax.chain(*transforms)

@@ -213,7 +213,12 @@ class MultimodalTrainer:
             args.get_warmup_steps(num_training_steps),
             num_training_steps,
         )
-        self.optimizer = make_optimizer(self.schedule, args.weight_decay, args.max_grad_norm)
+        self.optimizer = make_optimizer(
+            self.schedule,
+            args.weight_decay,
+            args.max_grad_norm,
+            moment_dtype=jnp.bfloat16 if args.adam_moment_dtype == "bfloat16" else None,
+        )
         self.state = TrainState(trainable=trainable, opt_state=self.optimizer.init(trainable))
 
         # --- device placement ---
@@ -402,13 +407,19 @@ class MultimodalTrainer:
 
         # --- fused multi-epoch variant: the whole fine-tune in ONE dispatch ---
 
+        # The best trainable subtree is only consumed by save_strategy="best"
+        # (the only other fused-eligible strategy is "no"). Tracking it costs
+        # a whole-tree select + copy per epoch — on the 200M-param baseline
+        # tree that is real HBM traffic — so skip it when nothing reads it.
+        track_best = self.args.save_strategy == "best"
+
         def fused_epochs_fn(carry0, frozen, data, val_data, perm, weights, val_perm, val_weights, val_nb):
             """Scan over epochs of (train-step scan -> val scan), tracking the best
-            trainable subtree device-side.
+            trainable subtree device-side (only under save_strategy="best").
 
             perm/weights: (E, steps, accum, B); val_perm/val_weights: (val_steps, B).
             ``val_nb`` (static) = real val batch count for the epoch-mean val loss.
-            carry0: {"state": TrainState, "best_val": f32, "best": trainable-like}.
+            carry0: {"state": TrainState, "best_val": f32[, "best": trainable-like]}.
             """
 
             def epoch(carry, xs):
@@ -436,10 +447,11 @@ class MultimodalTrainer:
                 new_carry = {
                     "state": state,
                     "best_val": jnp.where(is_best, val_loss, carry["best_val"]),
-                    "best": jax.tree.map(
-                        lambda b, c: jnp.where(is_best, c, b), carry["best"], state.trainable
-                    ),
                 }
+                if track_best:
+                    new_carry["best"] = jax.tree.map(
+                        lambda b, c: jnp.where(is_best, c, b), carry["best"], state.trainable
+                    )
                 return new_carry, (losses, val_loss)
 
             carry, (train_losses, val_losses) = jax.lax.scan(epoch, carry0, (perm, weights))
@@ -630,10 +642,11 @@ class MultimodalTrainer:
                 self.best_val_loss if np.isfinite(self.best_val_loss) else np.finfo(np.float32).max,
                 jnp.float32,
             ),
+        }
+        if self.args.save_strategy == "best":
             # Distinct buffers: carry0 is donated, so the best-subtree slot
             # must not alias the live trainable.
-            "best": jax.tree.map(lambda x: x.copy(), self.state.trainable),
-        }
+            carry0["best"] = jax.tree.map(lambda x: x.copy(), self.state.trainable)
         t0 = time.perf_counter()
         carry, train_losses, val_losses = self._fused_epochs_fn(
             carry0,
@@ -663,7 +676,7 @@ class MultimodalTrainer:
         self.global_step += num_epochs * loss_cube.shape[1]
         self._fused_best = {
             "val": float(np.asarray(carry["best_val"])),
-            "trainable": carry["best"],
+            "trainable": carry.get("best"),  # None unless save_strategy="best"
             "epoch": self.start_epoch + int(np.argmin(val_arr)),
         }
         return flat, val_arr
@@ -701,8 +714,24 @@ class MultimodalTrainer:
         state but has no entry point to continue training from it
         (SURVEY.md §5). Call before ``train()``; training continues at the
         epoch after the checkpointed one.
+
+        Caveat: a ``best_model.ckpt`` written by the FUSED path carries the
+        best epoch's weights but the END-of-run optimizer state (stamped
+        ``optimizer_state_is_final``); resuming from it warns, because the
+        moments/schedule position don't match the recorded step.
         """
         checkpoint = load_checkpoint(path)
+        if checkpoint.get("optimizer_state_is_final"):
+            import warnings
+
+            warnings.warn(
+                f"Resuming from {path}: this checkpoint was written by the fused "
+                "training path — its weights are the best epoch's, but the optimizer "
+                "state is end-of-run. Moments/schedule position will not match the "
+                "recorded epoch/global_step.",
+                UserWarning,
+                stacklevel=2,
+            )
         self._load_checkpoint_state(checkpoint)
         opt_state = jax.tree.map(jnp.asarray, checkpoint["optimizer_state"])
         if self.mesh is not None:
@@ -839,6 +868,10 @@ class MultimodalTrainer:
                 self._fused_best["epoch"] - self.start_epoch + 1
             ) * steps_per_epoch
             checkpoint = self._build_checkpoint()
+            # The one fused divergence (train_epochs_fused docstring): the
+            # moments/schedule position are end-of-run, not best-epoch.
+            # Stamp it so resume_from_checkpoint can warn.
+            checkpoint["optimizer_state_is_final"] = True
             self.state, self.global_step = live_state, live_step
             self.current_epoch = self.args.num_train_epochs - 1
             save_checkpoint(

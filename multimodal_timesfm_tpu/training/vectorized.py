@@ -362,6 +362,45 @@ def stack_trainables(trainables: list[Pytree]) -> Pytree:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trainables)
 
 
+# Jitted vectorized-eval executables, cached like _FUSED_CACHE — a fresh
+# jit(vmap(...)) per call would retrace/recompile every sweep group (remote
+# compiles take minutes in this deployment).
+_EVAL_CACHE: OrderedDict[tuple, Any] = OrderedDict()
+
+
+def _eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
+    key = (id(model), trainable_key, horizon_len, has_text, nb)
+    if key in _EVAL_CACHE:
+        _EVAL_CACHE.move_to_end(key)
+        return _EVAL_CACHE[key]
+
+    # frozen/data as explicit args (not closures) — see run_vectorized_trials.
+    def one_trial(trainable, frozen, jdata, perm, w):
+        params = dict(frozen)
+        params[trainable_key] = trainable
+
+        def one(_, exs):
+            idx, vw = exs
+            text = jdata["text"][idx] if has_text else None
+            ctx = jdata["context"][idx]
+            masks = jnp.zeros_like(ctx, dtype=bool)
+            point = model(params, horizon_len, ctx, masks, text)
+            err = point.astype(jnp.float32) - jdata["horizon"][idx]
+            se = jnp.sum(err * err * vw[:, None]) / horizon_len
+            ae = jnp.sum(jnp.abs(err) * vw[:, None]) / horizon_len
+            return None, (se, ae, jnp.sum(vw))
+
+        _, (se, ae, cnt) = jax.lax.scan(one, None, (perm, w))
+        total = jnp.maximum(jnp.sum(cnt[:nb]), 1.0)
+        return jnp.sum(se[:nb]) / total, jnp.sum(ae[:nb]) / total
+
+    fn = jax.jit(jax.vmap(one_trial, in_axes=(0, None, None, None, None)))
+    _EVAL_CACHE[key] = fn
+    while len(_EVAL_CACHE) > _FUSED_CACHE_MAX:
+        _EVAL_CACHE.popitem(last=False)
+    return fn
+
+
 def evaluate_vectorized(
     model,
     frozen: Params,
@@ -379,28 +418,7 @@ def evaluate_vectorized(
     perm, w = jnp.asarray(perm[:, 0]), jnp.asarray(w[:, 0])
     jdata = {k: jnp.asarray(v) for k, v in data.items()}
 
-    # frozen/data as explicit args (not closures) — see run_vectorized_trials.
-    def one_trial(trainable, frozen, jdata):
-        params = dict(frozen)
-        params[trainable_key] = trainable
-
-        def one(_, exs):
-            idx, vw = exs
-            text = jdata["text"][idx] if "text" in jdata else None
-            ctx = jdata["context"][idx]
-            masks = jnp.zeros_like(ctx, dtype=bool)
-            point = model(params, horizon_len, ctx, masks, text)
-            err = point.astype(jnp.float32) - jdata["horizon"][idx]
-            se = jnp.sum(err * err * vw[:, None]) / horizon_len
-            ae = jnp.sum(jnp.abs(err) * vw[:, None]) / horizon_len
-            return None, (se, ae, jnp.sum(vw))
-
-        _, (se, ae, cnt) = jax.lax.scan(one, None, (perm, w))
-        total = jnp.maximum(jnp.sum(cnt[:nb]), 1.0)
-        return jnp.sum(se[:nb]) / total, jnp.sum(ae[:nb]) / total
-
     frozen_dev = jax.tree.map(jnp.asarray, frozen)
-    mse, mae = jax.jit(jax.vmap(one_trial, in_axes=(0, None, None)))(
-        trainables, frozen_dev, jdata
-    )
+    fn = _eval_trials_fn(model, trainable_key, horizon_len, "text" in jdata, nb)
+    mse, mae = fn(trainables, frozen_dev, jdata, perm, w)
     return np.asarray(mse), np.asarray(mae)

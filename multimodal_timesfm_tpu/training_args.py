@@ -32,6 +32,13 @@ class TrainingArguments:
 
     # --- Optimizer ---
     weight_decay: float = field(default=0.0)
+    # Storage dtype for the AdamW moments (extension over the reference,
+    # which is torch-AdamW fp32-only). "bfloat16" halves the optimizer-state
+    # HBM traffic per step — the dominant cost of baseline-mode (full
+    # 200M-backbone) fine-tuning — while keeping fp32 master weights;
+    # accumulation still happens in fp32 each step (see
+    # training/optimization.scale_by_adam_lowmem).
+    adam_moment_dtype: Literal["float32", "bfloat16"] = field(default="float32")
 
     # --- Regularization & Training Stability ---
     gradient_accumulation_steps: int = field(default=1)
@@ -69,6 +76,11 @@ class TrainingArguments:
         if self.loss_type not in ("mse", "quantile"):
             raise ValueError(
                 f"Unsupported loss_type: {self.loss_type!r} (expected 'mse' or 'quantile')"
+            )
+        if self.adam_moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Unsupported adam_moment_dtype: {self.adam_moment_dtype!r} "
+                "(expected 'float32' or 'bfloat16')"
             )
         Path(self.output_dir).mkdir(parents=True, exist_ok=True)
         self.logging_dir.mkdir(parents=True, exist_ok=True)

@@ -21,11 +21,18 @@ def apply_platform_env() -> None:
 
 
 def enable_compile_cache(cache_dir: str | os.PathLike | None = None) -> None:
-    """Persistent XLA compilation cache (repeat runs skip slow compiles).
+    """Persistent XLA compilation cache.
 
     Defaults to ``$MTT_COMPILE_CACHE`` or ``~/.cache/multimodal_timesfm_tpu/jax``.
     Safe to call before any computation in CLI entry points; on-disk entries
     are keyed by program + compiler version, so stale hits are not a concern.
+
+    Whether repeat *processes* actually hit the cache depends on the
+    backend's compile key: plain CPU/TPU backends dedupe across processes,
+    but remote-compile deployments may embed per-process/session material in
+    the key (this deployment's tunneled TPU does — see CLAUDE.md), in which
+    case the cache only helps within one process. Don't build warm-start
+    assumptions on it.
     """
     from pathlib import Path
 

@@ -109,3 +109,38 @@ def test_forecaster_with_chronos_backend():
     # autoregressive passthrough (chronos serves long horizons natively)
     long = f.forecast_autoregressive(16, ctx)
     assert long.shape == (5, 16) and np.isfinite(long).all()
+
+
+def test_autoregressive_text_mode_contract():
+    """Multi-window AR decode with text warns once (default) or errors
+    (text_mode='error') — VERDICT r2 weak #6: the first-window-only fusion
+    semantics must be caller-visible."""
+    import warnings
+
+    import pytest
+
+    decoder, params = _build()
+    rng = np.random.default_rng(3)
+    ctx = rng.normal(size=(2, 16)).astype(np.float32)
+    text = rng.normal(size=(2, 4, 6)).astype(np.float32)
+
+    f = Forecaster(decoder, params, batch_size=2)
+    # Multi-window (horizon 20 > chunk 8): warns, once per Forecaster.
+    with pytest.warns(UserWarning, match="FIRST window"):
+        f.forecast_autoregressive(20, ctx, text_embeddings=text)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        f.forecast_autoregressive(20, ctx, text_embeddings=text)  # no second warning
+
+    with pytest.raises(ValueError, match="first window"):
+        f.forecast_autoregressive(20, ctx, text_embeddings=text, text_mode="error")
+    with pytest.raises(ValueError, match="text_mode"):
+        f.forecast_autoregressive(8, ctx, text_mode="bogus")
+
+    # Single-window decodes are unaffected either way.
+    f2 = Forecaster(decoder, params, batch_size=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        a = f2.forecast_autoregressive(8, ctx, text_embeddings=text)
+        b = f2.forecast_autoregressive(8, ctx, text_embeddings=text, text_mode="error")
+    np.testing.assert_allclose(a, b)

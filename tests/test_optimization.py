@@ -178,3 +178,116 @@ def test_shipped_training_yaml_loads(tmp_path, monkeypatch):
     assert args.lr_scheduler_type == "cosine"
     assert args.learning_rate == 1e-4
     assert args.load_best_model_at_end
+
+
+def test_lowmem_adam_fp32_matches_optax_adamw():
+    """scale_by_adam_lowmem(moment_dtype=fp32) == optax.adamw step-for-step."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.training.optimization import make_optimizer, make_schedule
+
+    sched = make_schedule("linear", 1e-2, 2, 10)
+    ref = make_optimizer(sched, weight_decay=0.01, max_grad_norm=1.0)
+    low = make_optimizer(sched, weight_decay=0.01, max_grad_norm=1.0, moment_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)}
+    p_ref, s_ref = params, ref.init(params)
+    p_low, s_low = params, low.init(params)
+    for step in range(6):
+        grads = {"w": jnp.asarray(rng.normal(size=(4, 3)) * (2.0 if step % 2 else 0.1), jnp.float32)}
+        u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+        u_low, s_low = low.update(grads, s_low, p_low)
+        p_ref = jax.tree.map(lambda p, u: p + u, p_ref, u_ref)
+        p_low = jax.tree.map(lambda p, u: p + u, p_low, u_low)
+        np.testing.assert_allclose(np.asarray(p_low["w"]), np.asarray(p_ref["w"]), rtol=1e-6, atol=1e-8)
+
+
+def test_lowmem_adam_bf16_state_dtype():
+    """bf16 moment storage: state leaves are actually bf16 (the HBM win)."""
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.training.optimization import make_optimizer, make_schedule
+
+    opt = make_optimizer(
+        make_schedule("linear", 1e-3, 0, 10), 0.0, 1.0, moment_dtype=jnp.bfloat16
+    )
+    import jax
+
+    params = {"w": jnp.ones((2, 2), jnp.float32)}
+    state = opt.init(params)
+    moment_leaves = [l for l in jax.tree.leaves(state) if getattr(l, "shape", None) == (2, 2)]
+    assert moment_leaves and all(l.dtype == jnp.bfloat16 for l in moment_leaves)
+
+
+def test_local_sweep_bayes_concentrates(tmp_path):
+    """TPE engine (method: bayes) concentrates later samples near a planted
+    optimum and beats random search at a fixed trial count (VERDICT r2 #2)."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    space = {
+        "metric": {"name": "test/mse", "goal": "minimize"},
+        "parameters": {
+            "learning_rate": {
+                "distribution": "log_uniform_values", "min": 1e-5, "max": 1e-1
+            },
+            "weight_decay": {"distribution": "uniform", "min": 0.0, "max": 0.1},
+            "batch_size": {"values": [8, 16, 32]},
+        },
+    }
+
+    def objective(cfg):
+        # Planted optimum: lr=1e-3, wd=0.02, batch=16.
+        return (
+            (math.log10(cfg["learning_rate"]) + 3.0) ** 2
+            + 10.0 * (cfg["weight_decay"] - 0.02) ** 2
+            + (0.0 if cfg["batch_size"] == 16 else 0.5)
+        )
+
+    def run_sweep(method, seed):
+        sweep = LocalSweep(
+            {**space, "method": method}, tmp_path / method, seed=seed, n_startup=10
+        )
+        trials = []
+
+        def fn(run):
+            cfg = {k: getattr(run.config, k) for k in ("learning_rate", "weight_decay", "batch_size")}
+            trials.append(cfg)
+            run.log({"test/mse": objective(cfg)})
+
+        sweep.agent(fn, count=50)
+        return trials
+
+    bayes = run_sweep("bayes", 0)
+    random_ = run_sweep("random", 0)
+    bayes_vals = [objective(c) for c in bayes]
+    random_vals = [objective(c) for c in random_]
+
+    # Later Bayes samples concentrate near the optimum: the post-startup
+    # tail's mean objective beats both its own random startup phase and the
+    # pure-random sweep's mean over the same trial budget.
+    assert np.mean(bayes_vals[30:]) < np.mean(bayes_vals[:10])
+    assert np.mean(bayes_vals[30:]) < np.mean(random_vals)
+    # And the lr coordinate specifically tightens around 1e-3.
+    lr_err = lambda cs: np.mean([abs(math.log10(c["learning_rate"]) + 3.0) for c in cs])  # noqa: E731
+    assert lr_err(bayes[30:]) < lr_err(bayes[:10])
+
+
+def test_local_sweep_bayes_maximize_orientation(tmp_path):
+    """goal: maximize flips the orientation fed to TPE."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    space = {
+        "method": "bayes",
+        "metric": {"name": "score", "goal": "maximize"},
+        "parameters": {"x": {"distribution": "uniform", "min": 0.0, "max": 1.0}},
+    }
+    sweep = LocalSweep(space, tmp_path, seed=1, n_startup=8)
+
+    def fn(run):
+        run.log({"score": -((run.config.x - 0.8) ** 2)})  # maximized at x=0.8
+
+    sweep.agent(fn, count=40)
+    xs = [c["x"] for c, _ in sweep._observations]
+    assert abs(np.mean(xs[25:]) - 0.8) < abs(np.mean(xs[:8]) - 0.8)

@@ -426,3 +426,42 @@ def test_fused_step_logging_matches_loop(tmp_path, mesh):
         assert lm.keys() == fm.keys()
         for k in lm:
             np.testing.assert_allclose(lm[k], fm[k], rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_moment_trajectory(tmp_path, mesh):
+    """bf16-stored AdamW moments track the fp32-moment loss trajectory.
+
+    VERDICT r2 #1: baseline mode's AdamW update is HBM-bound; bf16 moments
+    halve the optimizer-state traffic. Accumulation is fp32 each step with a
+    single bf16 round on store (~2^-9 relative), so short-horizon loss
+    trajectories must agree to a few parts in a thousand.
+    """
+
+    def run(sub, moment_dtype):
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(2))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(
+                tmp_path / sub,
+                num_train_epochs=4,
+                learning_rate=5e-3,
+                save_strategy="no",
+                load_best_model_at_end=False,
+                adam_moment_dtype=moment_dtype,
+            ),
+            train_dataset=PreprocessedDataset(_make_samples(24, 5, False), "baseline"),
+            val_dataset=PreprocessedDataset(_make_samples(8, 6, False), "baseline"),
+            mode="baseline",
+            mesh=mesh,
+        )
+        losses = [trainer.train_epoch() for _ in range(4)]
+        return np.asarray(losses)
+
+    fp32 = run("fp32", "float32")
+    bf16 = run("bf16", "bfloat16")
+    # Same learning dynamics: every epoch's loss within 0.5% relative.
+    np.testing.assert_allclose(bf16, fp32, rtol=5e-3)
+    # And the bf16 run actually trains (not just numerically inert).
+    assert bf16[-1] < bf16[0]

@@ -108,7 +108,9 @@ def test_single_trial_matches_trainer(tmp_path):
             lr_scheduler_type="linear",
             warmup_steps=2,
             eval_strategy="epoch",
-            save_strategy="no",
+            # "best": the fused path only tracks the device-side best
+            # trainable subtree when something will consume it.
+            save_strategy="best",
             logging_strategy="no",
             seed=seed,
         ),
