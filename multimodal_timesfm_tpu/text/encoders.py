@@ -178,19 +178,33 @@ class JapaneseTextEncoder(TextEncoderBase):
         return self.config.hidden_size
 
 
-def build_text_encoder(text_encoder_type: str, model_dir: Path | str | None = None) -> TextEncoderBase:
+def build_text_encoder(
+    text_encoder_type: str,
+    model_dir: Path | str | None = None,
+    embedding_dim: int | None = None,
+) -> TextEncoderBase:
     """Factory keyed like the reference scripts (``cache_time_mmd_datasets.py:63-88``).
 
     ``model_dir`` may also be an HF repo id (e.g.
     ``sentence-transformers/all-MiniLM-L6-v2``), resolved against local
     snapshot caches — see ``models/snapshot.py``.
+
+    ``embedding_dim`` is the DECLARED dimension validated against the loaded
+    model (reference ``text_encoder/english.py:28-33``); callers with a
+    fusion config should pass its ``text_embedding_dims`` so non-default
+    snapshot geometries validate against the dimension the fusion MLP will
+    actually consume. ``None`` keeps the per-type defaults (384/768).
     """
     if model_dir is not None:
         from multimodal_timesfm_tpu.models.snapshot import resolve_snapshot_dir
 
         model_dir = resolve_snapshot_dir(model_dir)
     if text_encoder_type == "english":
-        return EnglishTextEncoder(model_dir)
+        return EnglishTextEncoder(
+            model_dir, **({} if embedding_dim is None else {"embedding_dim": embedding_dim})
+        )
     if text_encoder_type == "japanese":
-        return JapaneseTextEncoder(model_dir)
+        return JapaneseTextEncoder(
+            model_dir, **({} if embedding_dim is None else {"embedding_dim": embedding_dim})
+        )
     raise ValueError(f"Unknown text encoder type: {text_encoder_type!r}")

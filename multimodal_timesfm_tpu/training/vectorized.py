@@ -362,6 +362,41 @@ def stack_trainables(trainables: list[Pytree]) -> Pytree:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trainables)
 
 
+def device_hbm_bytes(default: int = 16 << 30) -> int:
+    """Per-device accelerator memory; ``default`` (v5e's 16G) when unknown."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_limit", default))
+    except Exception:  # noqa: BLE001 - CPU backends have no memory stats
+        return default
+
+
+def vectorized_max_trials(
+    trainable_bytes: int, hbm_bytes: int | None = None, headroom: float = 0.75
+) -> int:
+    """How many trials of a given trainable-tree size fit in one device.
+
+    The HBM arithmetic (VERDICT r2 #7): each vectorized trial carries its own
+    fp32 copies of the trained tree — params + AdamW mu + nu + the tracked
+    best subtree, plus the transient gradient tree live during the update —
+    so ``per_trial = 5 * trainable_bytes``. The frozen subtrees, datasets and
+    activations are SHARED across trials and budgeted by ``headroom``
+    (default: trials may use 75% of device memory).
+
+        T_max = floor(headroom * HBM / (5 * trainable_bytes))
+
+    For the 200M-param TimesFM backbone on a 16G v5e this gives
+    T_max = floor(0.75 * 16G / (5 * 0.8G)) = **3** baseline trials per chip;
+    a tiny sweep-sized geometry (say 1M params) fits thousands. Multimodal
+    sweeps train only the fusion MLP (~1M params), which is why the trial
+    axis was never the constraint there.
+    """
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
+    per_trial = 5 * trainable_bytes
+    return max(int(headroom * hbm_bytes) // per_trial, 0)
+
+
 # Jitted vectorized-eval executables, cached like _FUSED_CACHE — a fresh
 # jit(vmap(...)) per call would retrace/recompile every sweep group (remote
 # compiles take minutes in this deployment).

@@ -64,7 +64,13 @@ def main() -> int:
     if args.seed is not None:
         set_seed(args.seed)
 
-    text_encoder = build_text_encoder(args.text_encoder_type, args.text_model_dir)
+    # Declared dim from the fusion config (what the fusion MLP consumes), so
+    # non-default snapshot geometries validate against the right dimension.
+    text_encoder = build_text_encoder(
+        args.text_encoder_type,
+        args.text_model_dir,
+        embedding_dim=model_config.fusion.text_embedding_dims,
+    )
     _logger.info(
         "Text encoder: %s (pretrained=%s)", args.text_encoder_type, text_encoder.is_pretrained
     )

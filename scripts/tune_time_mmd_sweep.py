@@ -121,12 +121,9 @@ def main(mode: str = MODE) -> int:
         )
 
     if args.vectorized:
-        if mode != "multimodal":
-            _logger.error(
-                "--vectorized requires multimodal mode: baseline trials each "
-                "fine-tune the full backbone, which cannot be shared across trials."
-            )
-            return 1
+        # Baseline mode vectorizes too when the trial count fits the device
+        # budget (each baseline trial carries 5 fp32 copies of the backbone;
+        # sweep_lib raises with the computed budget when it doesn't fit).
         if not args.sweep_config:
             _logger.error("--sweep-config is required for --vectorized.")
             return 1
@@ -152,6 +149,7 @@ def main(mode: str = MODE) -> int:
             pretrained_dir=args.pretrained_dir,
             require_pretrained_text=args.require_pretrained_text,
             mesh=mesh,
+            mode=mode,
         )
         _logger.info("Sweep agent finished")
         return 0

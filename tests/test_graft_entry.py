@@ -45,5 +45,6 @@ def test_dryrun_multichip_fresh_process_forces_platform():
         timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dryrun_multichip OK [timesfm]" in proc.stdout
-    assert "dryrun_multichip OK [chronos]" in proc.stdout
+    for backbone in ("timesfm", "chronos"):
+        for path in ("multimodal-loop", "baseline-fused", "evaluator"):
+            assert f"dryrun_multichip OK [{backbone}/{path}]" in proc.stdout

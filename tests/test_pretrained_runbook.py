@@ -1,0 +1,278 @@
+"""docs/PRETRAINED.md dry-run: every documented command path works on
+synthetic snapshots (VERDICT r2 #10 — keep the runbook warm so a real-weights
+session can close Missing #1 without debugging doc drift).
+
+The library-level resolution paths (direct dir, $MULTIMODAL_TIMESFM_SNAPSHOTS
+repo-id layout, HF hub cache layout) are covered in tests/test_snapshot.py;
+this file drives the two documented CLI flags end-to-end and pins the doc's
+flag/env names against the code.
+"""
+
+import json
+import pickle
+import re
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+RUNBOOK = (REPO / "docs" / "PRETRAINED.md").read_text()
+
+
+@pytest.fixture(scope="module")
+def mini_tree(tmp_path_factory):
+    """One-domain synthetic Time-MMD tree, pre-split."""
+    root = tmp_path_factory.mktemp("tm")
+    rng = np.random.default_rng(0)
+    n = 120
+    dates = pd.date_range("2021-01-01", periods=n, freq="D").strftime("%Y-%m-%d")
+    for split, sl in (("train", slice(0, 60)), ("val", slice(60, 90)), ("test", slice(90, 120))):
+        d = f"Agriculture_{split}"
+        (root / "numerical" / d).mkdir(parents=True)
+        pd.DataFrame(
+            {
+                "start_date": dates[sl],
+                "end_date": dates[sl],
+                "OT": np.cumsum(rng.normal(size=len(dates[sl]))) + 5,
+            }
+        ).to_csv(root / "numerical" / d / f"{d}.csv", index=False)
+        (root / "textual" / d).mkdir(parents=True)
+        pd.DataFrame(
+            {
+                "start_date": dates[sl][::5],
+                "end_date": dates[sl][4::5],
+                "fact": [f"report {i}" for i in range(len(dates[sl][::5]))],
+            }
+        ).to_csv(root / "textual" / d / f"{d}_report.csv", index=False)
+    return root
+
+
+@pytest.fixture(scope="module")
+def minilm_snapshot(tmp_path_factory):
+    """Synthetic English-encoder snapshot (model.safetensors + config.json + vocab.txt)."""
+    from safetensors.numpy import save_file
+
+    from multimodal_timesfm_tpu.text.bert import BertConfig, init_bert
+
+    cfg = BertConfig.tiny()
+    params = jax.device_get(init_bert(jax.random.key(0), cfg))
+    sd = {
+        "embeddings.word_embeddings.weight": np.asarray(params["embeddings"]["word"]),
+        "embeddings.position_embeddings.weight": np.asarray(params["embeddings"]["position"]),
+        "embeddings.token_type_embeddings.weight": np.asarray(params["embeddings"]["token_type"]),
+        "embeddings.LayerNorm.weight": np.asarray(params["embeddings"]["ln"]["scale"]),
+        "embeddings.LayerNorm.bias": np.asarray(params["embeddings"]["ln"]["bias"]),
+    }
+    hf_names = {
+        "q": "attention.self.query",
+        "k": "attention.self.key",
+        "v": "attention.self.value",
+        "attn_out": "attention.output.dense",
+        "ffn_up": "intermediate.dense",
+        "ffn_down": "output.dense",
+    }
+    for i, layer in enumerate(params["layers"]):
+        for ours, theirs in hf_names.items():
+            sd[f"encoder.layer.{i}.{theirs}.weight"] = np.asarray(layer[ours]["kernel"]).T
+            sd[f"encoder.layer.{i}.{theirs}.bias"] = np.asarray(layer[ours]["bias"])
+        sd[f"encoder.layer.{i}.attention.output.LayerNorm.weight"] = np.asarray(
+            layer["attn_ln"]["scale"]
+        )
+        sd[f"encoder.layer.{i}.attention.output.LayerNorm.bias"] = np.asarray(
+            layer["attn_ln"]["bias"]
+        )
+        sd[f"encoder.layer.{i}.output.LayerNorm.weight"] = np.asarray(layer["ffn_ln"]["scale"])
+        sd[f"encoder.layer.{i}.output.LayerNorm.bias"] = np.asarray(layer["ffn_ln"]["bias"])
+
+    snap = tmp_path_factory.mktemp("snaps") / "sentence-transformers" / "all-MiniLM-L6-v2"
+    snap.mkdir(parents=True)
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in sd.items()}, str(snap / "model.safetensors")
+    )
+    (snap / "config.json").write_text(
+        json.dumps(
+            {
+                "hidden_size": cfg.hidden_size,
+                "num_hidden_layers": cfg.num_layers,
+                "num_attention_heads": cfg.num_heads,
+                "intermediate_size": cfg.intermediate_size,
+                "vocab_size": cfg.vocab_size,
+                "max_position_embeddings": cfg.max_position_embeddings,
+            }
+        )
+    )
+    (snap / "vocab.txt").write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "report", "a"]))
+    return snap
+
+
+@pytest.fixture(scope="module")
+def timesfm_snapshot(tmp_path_factory):
+    """Synthetic TimesFM snapshot under the documented <root>/<org>/<name> layout."""
+    from multimodal_timesfm_tpu.models.convert import TIMESFM_NAME_RULES
+    from multimodal_timesfm_tpu.models.snapshot import timesfm_config_from_hf
+    from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter
+
+    from tests.test_convert import _synthetic_state_dict
+    from safetensors.numpy import save_file
+
+    hf = {
+        "patch_len": 4,
+        "output_patch_len": 8,
+        "hidden_size": 32,
+        "intermediate_size": 32,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+    }
+    cfg = timesfm_config_from_hf(hf)
+    root = tmp_path_factory.mktemp("snaproot")
+    snap = root / "google" / "timesfm-2.5-200m-pytorch"
+    snap.mkdir(parents=True)
+    sd, _ = _synthetic_state_dict(TimesFM2p5Adapter(cfg), TIMESFM_NAME_RULES)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(snap / "model.safetensors"))
+    (snap / "config.json").write_text(json.dumps(hf))
+    return root
+
+
+@pytest.fixture(scope="module")
+def run_configs(tmp_path_factory):
+    import yaml
+
+    cfg_dir = tmp_path_factory.mktemp("rbcfg")
+    # NO arch overrides: geometry must come from the snapshot's config.json,
+    # as the runbook documents.
+    (cfg_dir / "model.yml").write_text(
+        yaml.safe_dump(
+            {
+                "adapter": {"type": "timesfm", "patch_len": 4},
+                # 16 = BertConfig.tiny().hidden_size (the synthetic snapshot's dim)
+                "fusion": {"text_encoder_type": "english", "text_embedding_dims": 16},
+            }
+        )
+    )
+    (cfg_dir / "forecast.yml").write_text(yaml.safe_dump({"context_len": 16, "horizon_len": 8}))
+    (cfg_dir / "sweep.yml").write_text(
+        yaml.safe_dump(
+            {
+                "method": "bayes",
+                "metric": {"name": "test/mse", "goal": "minimize"},
+                "parameters": {
+                    "num_fusion_layers": {"value": 1},
+                    "batch_size": {"values": [8]},
+                    "num_epochs": {"values": [1]},
+                    "learning_rate": {
+                        "distribution": "log_uniform_values", "min": 1e-4, "max": 1e-3
+                    },
+                },
+            }
+        )
+    )
+    return cfg_dir
+
+
+def test_runbook_documents_the_real_surfaces():
+    """Doc-drift guard: the names the runbook tells users to type exist."""
+    import scripts.cache_time_mmd_datasets as cache_mod
+    import scripts.tune_time_mmd_sweep as tune_mod
+    from multimodal_timesfm_tpu.models import snapshot as snapshot_mod
+
+    assert "--text-model-dir" in RUNBOOK
+    assert "--text-model-dir" in Path(cache_mod.__file__).read_text()
+    assert "--pretrained-dir" in RUNBOOK
+    assert "--pretrained-dir" in Path(tune_mod.__file__).read_text()
+    env = re.search(r"MULTIMODAL_TIMESFM_SNAPSHOTS", RUNBOOK)
+    assert env and "MULTIMODAL_TIMESFM_SNAPSHOTS" in Path(snapshot_mod.__file__).read_text()
+    # Referenced name-rule tables and tests still exist.
+    from multimodal_timesfm_tpu.models.convert import CHRONOS_NAME_RULES, TIMESFM_NAME_RULES  # noqa: F401
+
+    for rel in re.findall(r"`(tests/[\w/]+\.py)", RUNBOOK):
+        assert (REPO / rel).exists(), f"runbook references missing {rel}"
+
+
+def test_cache_cli_with_text_model_dir(mini_tree, minilm_snapshot, run_configs, tmp_path, monkeypatch):
+    """Runbook §3: cache script with --text-model-dir stamps is_pretrained=True."""
+    import scripts.cache_time_mmd_datasets as cache_mod
+
+    cache_dir = tmp_path / "cache"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "cache",
+            "--data-path", str(mini_tree),
+            "--model-config", str(run_configs / "model.yml"),
+            "--forecast-config", str(run_configs / "forecast.yml"),
+            "--text-encoder-type", "english",
+            "--text-model-dir", str(minilm_snapshot),
+            "--cache-dir", str(cache_dir),
+            "--domains", "Agriculture_train", "Agriculture_val", "Agriculture_test",
+            "--seed", "0",
+        ],
+    )
+    assert cache_mod.main() == 0
+    pkls = sorted(cache_dir.glob("*.pkl"))
+    assert len(pkls) == 3
+    samples = pickle.loads(pkls[0].read_bytes())
+    prov = samples[0]["metadata"]["text_encoder"]
+    assert prov["is_pretrained"] is True
+    assert prov["encoder"] == "EnglishTextEncoder"
+
+
+def test_tune_cli_with_pretrained_dir(
+    mini_tree, minilm_snapshot, timesfm_snapshot, run_configs, tmp_path, monkeypatch
+):
+    """Runbook §3: tuner resolves --pretrained-dir as a repo id via
+    $MULTIMODAL_TIMESFM_SNAPSHOTS, loads the snapshot geometry + weights
+    strictly, and --require-pretrained-text accepts the pretrained cache."""
+    import scripts.cache_time_mmd_datasets as cache_mod
+    import scripts.tune_time_mmd_sweep as tune_mod
+    from examples.time_mmd import sweep_lib
+
+    cache_dir = tmp_path / "cache"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "cache",
+            "--data-path", str(mini_tree),
+            "--model-config", str(run_configs / "model.yml"),
+            "--forecast-config", str(run_configs / "forecast.yml"),
+            "--text-encoder-type", "english",
+            "--text-model-dir", str(minilm_snapshot),
+            "--cache-dir", str(cache_dir),
+            "--seed", "0",
+        ],
+    )
+    assert cache_mod.main() == 0
+
+    # The fixed fold wants all five domains; point it at the one we built.
+    monkeypatch.setattr(sweep_lib, "FOLD_DOMAINS", ["Agriculture"])
+    monkeypatch.setenv("MULTIMODAL_TIMESFM_SNAPSHOTS", str(timesfm_snapshot))
+    out_dir = tmp_path / "sweep"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "tune",
+            "--sweep-config", str(run_configs / "sweep.yml"),
+            "--count", "1",
+            "--model-config", str(run_configs / "model.yml"),
+            "--forecast-config", str(run_configs / "forecast.yml"),
+            "--cache-dir", str(cache_dir),
+            "--pretrained-dir", "google/timesfm-2.5-200m-pytorch",
+            "--require-pretrained-text",
+            "--offline",
+            "--output-dir", str(out_dir),
+            "--seed", "0",
+            "--augment",
+        ],
+    )
+    assert tune_mod.main(mode="multimodal") == 0
+    rows = [
+        json.loads(line)
+        for line in (out_dir / "sweep_results.jsonl").read_text().strip().splitlines()
+    ]
+    assert any("test/mse" in r and np.isfinite(r["test/mse"]) for r in rows)
