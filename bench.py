@@ -221,10 +221,16 @@ def build_trainer(
         mode=mode,
         mesh=mesh,
         # In baseline mode the backbone is the TRAINED subtree (fp32 master
-        # weights required); only freeze-cast in multimodal mode.
+        # weights required); freeze-cast in multimodal mode, mixed-precision
+        # cast (bf16 compute copy of the fp32 masters) in baseline mode.
         frozen_cast_dtype=compute_dtype
         if (compute_dtype != jnp.float32 and mode == "multimodal")
         else None,
+        # trainable_cast_dtype (mixed-precision backward) measured NEUTRAL on
+        # this workload back-to-back (81.7k vs 81.6k series/s at batch 4096):
+        # XLA already de-duplicates the fp32->bf16 weight casts. Left off to
+        # keep the recorded numerics the fp32-backward ones; the trainer
+        # feature remains available (docs/PERF.md).
     )
     return trainer, cfg
 
@@ -234,17 +240,25 @@ def build_trainer(
 # ---------------------------------------------------------------------------
 
 # name -> (backbone, context, horizon, batch, samples, epochs, mode)
+#
+# Sample counts are sized so the per-dispatch fixed cost (~116ms measured on
+# the tunneled v5e: dispatch + sync + host epoch staging, solved from a
+# back-to-back 8k-vs-32k sample A/B at identical step counts) is <~15% of
+# the timed region — i.e. the numbers report STEADY-STATE training
+# throughput, not dispatch latency. Real fine-tunes run minutes-to-hours,
+# so steady state is the honest accounting.
 WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Headline: the reference-default geometry (1 patch token). Batch 2048
     # measured consistently faster than 1024 on v5e (fewer fused-scan steps;
     # 144.1k vs 128.2k series/s back-to-back).
-    "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 16384, 3, "multimodal"),
+    "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 65536, 3, "multimodal"),
     # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
     # the epoch is dominated by AdamW update HBM traffic (~200M params x
-    # grads+m+v+p fp32 per optimizer step), so fewer/bigger steps win
-    # (measured on v5e: 1024 -> 33.6-40.0k, 2048 -> 44.5-45.0k, 4096 ->
-    # 50.0k series/s, 8192 flat).
-    "timesfm_baseline_c32": ("timesfm", 32, 32, 4096, 8192, 2, "baseline"),
+    # grads+m+v per optimizer step), so fewer/bigger steps win. With fp32
+    # moments 8192 measured flat vs 4096 (r2); bf16 moments halve the
+    # optimizer share and shift the optimum up (r3 back-to-back at 32k
+    # samples: 4096 -> 81.7k, 8192 -> 85.7k series/s, MFU 0.36).
+    "timesfm_baseline_c32": ("timesfm", 32, 32, 8192, 32768, 2, "baseline"),
     # Attention-relevant regimes: 16 and 64 patch tokens.
     "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2, "multimodal"),
     "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2, "multimodal"),
@@ -256,7 +270,7 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
     "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2, "multimodal"),
     # The horizon-matched fine-tune knob (NOT checkpoint-equivalent).
-    "chronos_mm_h32_mop2": ("chronos", 32, 32, 512, 8192, 2, "multimodal"),
+    "chronos_mm_h32_mop2": ("chronos", 32, 32, 512, 32768, 2, "multimodal"),
 }
 WORKLOAD_ARCH: dict[str, dict] = {
     # pack=16: segment-packed attention amortizes lane padding for the tiny

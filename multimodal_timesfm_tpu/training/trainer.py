@@ -143,6 +143,7 @@ class MultimodalTrainer:
         shard_params_fn=None,
         max_device_dataset_bytes: int = 4 << 30,
         frozen_cast_dtype=None,
+        trainable_cast_dtype=None,
         ckpt_backend: str = "pickle",
         fuse_epochs: bool | None = None,
     ) -> None:
@@ -159,6 +160,15 @@ class MultimodalTrainer:
         weights. In multimodal mode this halves the 200M backbone's weight
         HBM traffic with no optimizer-state impact.
 
+        ``trainable_cast_dtype`` (e.g. ``jnp.bfloat16``) is mixed-precision
+        training for the TRAINED subtree: the forward/backward differentiates
+        a cast copy of the fp32 master weights, so GEMMs read bf16 weights
+        and the backward writes bf16 gradients (half the weight-read and
+        grad-write HBM traffic per step — material in baseline mode where
+        the trained tree is the 200M backbone). The optimizer still
+        accumulates in fp32 against fp32 masters; pair with
+        ``adam_moment_dtype="bfloat16"`` for the full low-memory update.
+
         ``fuse_epochs``: None (default) lets ``train()`` pick the fused
         one-dispatch multi-epoch path whenever it is applicable
         (``fused_epochs_supported``); False forces the per-epoch loop."""
@@ -169,6 +179,7 @@ class MultimodalTrainer:
         self._wandb_run = wandb_run
         self.ckpt_backend = ckpt_backend
         self.fuse_epochs = fuse_epochs
+        self._trainable_cast_dtype = trainable_cast_dtype
 
         multimodal = mode == "multimodal"
         self.train_data = (
@@ -316,10 +327,21 @@ class MultimodalTrainer:
     def _build_step_fns(self) -> None:
         accum = self.args.gradient_accumulation_steps
         grad_fn = jax.value_and_grad(self._loss_fn)
+        cast_dtype = self._trainable_cast_dtype
 
         def micro_loss_and_grads(state, frozen, mb):
+            trainable = state.trainable
+            if cast_dtype is not None:
+                # Mixed precision: differentiate the CAST copy — the backward
+                # then produces cast-dtype gradients and every GEMM reads
+                # cast-dtype weights; the fp32 masters are only touched by
+                # the optimizer update (fp32 accumulate there).
+                trainable = jax.tree.map(
+                    lambda x: x.astype(cast_dtype) if x.dtype == jnp.float32 else x,
+                    trainable,
+                )
             return grad_fn(
-                state.trainable,
+                trainable,
                 frozen,
                 mb["context"],
                 mb["horizon"],
