@@ -3,9 +3,11 @@
 The reference exposes inference only implicitly (the decoder's forward inside
 train/eval loops). This module adds a first-class serving surface: a
 ``Forecaster`` that jit-compiles the point/full forecast per (horizon, batch
-bucket), pads ragged final batches to static shapes, and can denormalize
-predictions back to the original scale using the per-sample z-score stats the
-Time-MMD loader records in metadata (``mean``/``std`` —
+bucket), pads ragged final batches to static shapes, serves over a device
+mesh (batch sharding + optional tensor-parallel params), decodes long
+horizons as ONE ``lax.scan`` dispatch (``forecast_autoregressive``), and can
+denormalize predictions back to the original scale using the per-sample
+z-score stats the Time-MMD loader records in metadata (``mean``/``std`` —
 ``/root/reference/examples/time_mmd/data/time_mmd_dataset.py:342-349``).
 """
 
@@ -21,14 +23,54 @@ from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
 
 
 class Forecaster:
-    """Frozen decoder + params, specialized for batched forecasting."""
+    """Frozen decoder + params, specialized for batched forecasting.
 
-    def __init__(self, model: MultimodalDecoder, params: Params, batch_size: int = 64) -> None:
+    ``mesh`` enables multi-chip serving: request batches are sharded over
+    the mesh's ``data`` axis (throughput scales with chips; XLA inserts the
+    collectives), and ``shard_params_fn`` (e.g.
+    ``parallel.sharding.shard_params``) additionally tensor-shards the
+    backbone weights over the ``model`` axis for models too large for one
+    chip. ``batch_size`` must divide evenly by the data-axis size.
+    """
+
+    def __init__(
+        self,
+        model: MultimodalDecoder,
+        params: Params,
+        batch_size: int = 64,
+        mesh=None,
+        shard_params_fn=None,
+    ) -> None:
         self.model = model
-        self.params = params
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["data"]
+            if batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size ({batch_size}) must be divisible by the mesh data "
+                    f"axis ({dp}) for sharded serving"
+                )
+            from multimodal_timesfm_tpu.parallel.mesh import replicated
+
+            params = (
+                shard_params_fn(params, mesh)
+                if shard_params_fn is not None
+                else jax.device_put(params, replicated(mesh))
+            )
+            self._batch_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data")
+            )
+        self.params = params
         self._point_fn = {}
         self._full_fn = {}
+        self._ar_fn_cache = {}
+
+    def _stage(self, arr):
+        """Host array -> device; batch-sharded over the mesh when present."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(np.asarray(arr), self._batch_sharding)
 
     def _get_fn(self, horizon: int, full: bool, with_text: bool):
         cache = self._full_fn if full else self._point_fn
@@ -74,9 +116,9 @@ class Forecaster:
                 msk = np.concatenate([msk, np.repeat(msk[-1:], pad, 0)])
                 if txt is not None:
                     txt = np.concatenate([txt, np.repeat(txt[-1:], pad, 0)])
-            args = (self.params, jnp.asarray(ctx), jnp.asarray(msk))
+            args = (self.params, self._stage(ctx), self._stage(msk))
             if txt is not None:
-                args = args + (jnp.asarray(txt),)
+                args = args + (self._stage(txt),)
             outs.append(np.asarray(fn(*args))[:real])
         return np.concatenate(outs, axis=0)
 
@@ -154,19 +196,63 @@ class Forecaster:
         ctx = np.asarray(context, np.float32)
         msk = np.asarray(masks, bool)
 
+        # TPU-native decode: ALL rounds run as one jitted program per batch —
+        # a lax.scan slides the context window device-side, so an H-step
+        # decode costs one dispatch instead of ceil(H/chunk) host round-trips
+        # (each with a device->host readback of the running context).
+        rounds = -(-horizon // chunk)
+        fn = self._get_ar_fn(chunk, rounds, text_embeddings is not None)
+
+        n = ctx.shape[0]
+        b = self.batch_size
         outs = []
-        remaining = horizon
-        first = True
-        while remaining > 0:
-            emit = min(chunk, remaining)
-            text = text_embeddings if first else None
-            preds = self.forecast(chunk, ctx, msk, text)  # (N, chunk)
-            outs.append(preds[:, :emit])
-            ctx = np.concatenate([ctx[:, chunk:], preds], axis=1)
-            msk = np.concatenate([msk[:, chunk:], np.zeros_like(preds, bool)], axis=1)
-            remaining -= emit
-            first = False
-        return np.concatenate(outs, axis=1)
+        for i in range(0, n, b):
+            bc, bm = ctx[i : i + b], msk[i : i + b]
+            bt = text_embeddings[i : i + b] if text_embeddings is not None else None
+            real = bc.shape[0]
+            if real < b:  # pad the final batch to the static shape
+                pad = b - real
+                bc = np.concatenate([bc, np.repeat(bc[-1:], pad, 0)])
+                bm = np.concatenate([bm, np.repeat(bm[-1:], pad, 0)])
+                if bt is not None:
+                    bt = np.concatenate([bt, np.repeat(bt[-1:], pad, 0)])
+            args = (self.params, self._stage(bc), self._stage(bm))
+            if bt is not None:
+                args = args + (self._stage(np.asarray(bt)),)
+            outs.append(np.asarray(fn(*args))[:real])
+        return np.concatenate(outs, axis=0)[:, :horizon]
+
+    def _get_ar_fn(self, chunk: int, rounds: int, with_text: bool):
+        """Jitted whole-decode program: round 0 (with optional text fusion)
+        then a ``lax.scan`` over the remaining context-sliding rounds."""
+        key = (chunk, rounds, with_text)
+        if key in self._ar_fn_cache:
+            return self._ar_fn_cache[key]
+
+        def slide(ctx, msk, preds):
+            preds = preds.astype(ctx.dtype)
+            ctx = jnp.concatenate([ctx[:, chunk:], preds], axis=1)
+            msk = jnp.concatenate([msk[:, chunk:], jnp.zeros_like(preds, bool)], axis=1)
+            return ctx, msk
+
+        def decode(params, ctx, msk, text=None):
+            preds0 = self.model(params, chunk, ctx, msk, text)
+            if rounds == 1:
+                return preds0
+            ctx, msk = slide(ctx, msk, preds0)
+
+            def round_body(carry, _):
+                c, m = carry
+                preds = self.model(params, chunk, c, m, None)
+                return slide(c, m, preds), preds
+
+            _, rest = jax.lax.scan(round_body, (ctx, msk), None, length=rounds - 1)
+            rest = jnp.moveaxis(rest, 0, 1).reshape(ctx.shape[0], -1)  # (B, (R-1)*chunk)
+            return jnp.concatenate([preds0.astype(rest.dtype), rest], axis=1)
+
+        fn = jax.jit(decode)
+        self._ar_fn_cache[key] = fn
+        return fn
 
     def forecast_dataset(
         self,

@@ -144,3 +144,66 @@ def test_autoregressive_text_mode_contract():
         a = f2.forecast_autoregressive(8, ctx, text_embeddings=text)
         b = f2.forecast_autoregressive(8, ctx, text_embeddings=text, text_mode="error")
     np.testing.assert_allclose(a, b)
+
+
+def test_forecaster_sharded_serving_matches_single_device():
+    """Mesh-sharded serving (batch over data axis, optionally tensor-sharded
+    params) returns the same forecasts as the single-device Forecaster."""
+    from multimodal_timesfm_tpu.parallel.mesh import MeshConfig, make_mesh
+    from multimodal_timesfm_tpu.parallel.sharding import shard_params
+
+    decoder, params = _build()
+    rng = np.random.default_rng(9)
+    ctx = rng.normal(size=(19, 16)).astype(np.float32)  # ragged vs batch 8
+    txt = rng.normal(size=(19, 4, 6)).astype(np.float32)
+
+    base = Forecaster(decoder, params, batch_size=8).forecast(8, ctx, text_embeddings=txt)
+
+    mesh_dp = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    dp = Forecaster(decoder, params, batch_size=8, mesh=mesh_dp).forecast(
+        8, ctx, text_embeddings=txt
+    )
+    np.testing.assert_allclose(dp, base, atol=1e-5)
+
+    mesh_tp = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    tp = Forecaster(
+        decoder, params, batch_size=8, mesh=mesh_tp, shard_params_fn=shard_params
+    ).forecast(8, ctx, text_embeddings=txt)
+    np.testing.assert_allclose(tp, base, atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        Forecaster(decoder, params, batch_size=3, mesh=mesh_dp)
+
+
+def test_fused_ar_decode_matches_host_loop_semantics():
+    """The one-dispatch lax.scan AR decode reproduces the explicit
+    slide-window host loop (forecast per chunk, append, repeat)."""
+    decoder, params = _build()
+    rng = np.random.default_rng(11)
+    ctx = rng.normal(size=(3, 16)).astype(np.float32)
+    text = rng.normal(size=(3, 4, 6)).astype(np.float32)
+
+    f = Forecaster(decoder, params, batch_size=4)
+    horizon, chunk = 20, 8
+
+    # Host-loop mirror of the decode semantics.
+    c, m = ctx.copy(), np.zeros_like(ctx, bool)
+    outs, remaining, first = [], horizon, True
+    while remaining > 0:
+        emit = min(chunk, remaining)
+        preds = f.forecast(chunk, c, m, text if first else None)
+        outs.append(preds[:, :emit])
+        c = np.concatenate([c[:, chunk:], preds.astype(np.float32)], axis=1)
+        m = np.concatenate([m[:, chunk:], np.zeros_like(preds, bool)], axis=1)
+        remaining -= emit
+        first = False
+    expected = np.concatenate(outs, axis=1)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = f.forecast_autoregressive(horizon, ctx, text_embeddings=text)
+    np.testing.assert_allclose(got, expected, atol=1e-5)

@@ -291,3 +291,24 @@ def test_local_sweep_bayes_maximize_orientation(tmp_path):
     sweep.agent(fn, count=40)
     xs = [c["x"] for c, _ in sweep._observations]
     assert abs(np.mean(xs[25:]) - 0.8) < abs(np.mean(xs[:8]) - 0.8)
+
+
+def test_local_sweep_bayes_int_uniform(tmp_path):
+    """TPE models int_uniform params in continuous space and emits ints in range."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    space = {
+        "method": "bayes",
+        "metric": {"name": "loss", "goal": "minimize"},
+        "parameters": {"n": {"distribution": "int_uniform", "min": 1, "max": 32}},
+    }
+    sweep = LocalSweep(space, tmp_path, seed=3, n_startup=8)
+
+    def fn(run):
+        run.log({"loss": (run.config.n - 20) ** 2})  # optimum n=20
+
+    sweep.agent(fn, count=40)
+    ns = [c["n"] for c, _ in sweep._observations]
+    assert all(isinstance(n, int) and 1 <= n <= 32 for n in ns)
+    # Later samples sit closer to the planted optimum than the startup draws.
+    assert np.mean(np.abs(np.array(ns[25:]) - 20)) < np.mean(np.abs(np.array(ns[:8]) - 20))
