@@ -249,8 +249,10 @@ def build_trainer(
 # so steady state is the honest accounting.
 WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Headline: the reference-default geometry (1 patch token). Batch 2048
-    # measured consistently faster than 1024 on v5e (fewer fused-scan steps;
-    # 144.1k vs 128.2k series/s back-to-back).
+    # measured consistently faster than 1024 on v5e (144.1k vs 128.2k
+    # back-to-back, r2); 4096 measured a dead heat at steady state
+    # (180.68k vs 180.66k, r3) — the GEMMs already run ~85% of peak at 2048
+    # (docs/PERF.md), so larger batches only add latency.
     "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 65536, 3, "multimodal"),
     # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
     # the epoch is dominated by AdamW update HBM traffic (~200M params x
@@ -260,15 +262,15 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # samples: 4096 -> 81.7k, 8192 -> 85.7k series/s, MFU 0.36).
     "timesfm_baseline_c32": ("timesfm", 32, 32, 8192, 32768, 2, "baseline"),
     # Attention-relevant regimes: 16 and 64 patch tokens.
-    "timesfm_mm_c512": ("timesfm", 512, 32, 256, 4096, 2, "multimodal"),
-    "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 1024, 2, "multimodal"),
+    "timesfm_mm_c512": ("timesfm", 512, 32, 256, 8192, 2, "multimodal"),
+    "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 2048, 2, "multimodal"),
     # TimesFM's max context (16k steps = 512 patch tokens): the Pallas
     # whole-sequence attention kernel's regime. NOT in the default set —
     # run via --workloads timesfm_mm_c16384 (large compile).
     "timesfm_mm_c16384": ("timesfm", 16384, 32, 16, 96, 1, "multimodal"),
     # Chronos-2 at the checkpoint-default max_output_patches=64 (the
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
-    "chronos_mm_h32": ("chronos", 32, 32, 128, 1024, 2, "multimodal"),
+    "chronos_mm_h32": ("chronos", 32, 32, 128, 4096, 2, "multimodal"),
     # The horizon-matched fine-tune knob (NOT checkpoint-equivalent).
     "chronos_mm_h32_mop2": ("chronos", 32, 32, 512, 32768, 2, "multimodal"),
 }
@@ -560,6 +562,27 @@ def latency_bench(dtype: str) -> int:
             }
         )
         _log(f"[latency] {rows[-1]}")
+
+    # Long-horizon serving: the whole AR decode (4 context-sliding rounds at
+    # horizon 512 = 4x the 128-step single-shot cap) is ONE jitted dispatch.
+    forecaster = Forecaster(decoder, params, batch_size=16)
+    ctx = rng.normal(size=(16, 512)).astype(np.float32)
+    forecaster.forecast_autoregressive(512, ctx)  # compile + warm
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        forecaster.forecast_autoregressive(512, ctx)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    rows.append(
+        {
+            "batch": 16,
+            "ar_horizon": 512,
+            "p50_ms": round(times[len(times) // 2], 3),
+            "p99_ms": round(times[int(len(times) * 0.99) - 1], 3),
+        }
+    )
+    _log(f"[latency] {rows[-1]}")
     print(json.dumps({"metric": "forecast_latency_ms", "rows": rows}))
     return 0
 

@@ -207,6 +207,9 @@ def train_and_evaluate(
         test_dataset,
         batch_size=training_args.per_device_eval_batch_size,
         multimodal=mode == "multimodal",
+        # Score the quantile heads too when they were the training objective
+        # (extension; the reference never evaluates its quantile channels).
+        quantile_metrics=training_args.loss_type == "quantile",
     )
 
     _logger.info(
@@ -216,14 +219,15 @@ def train_and_evaluate(
         test_metrics["mse"],
         test_metrics["mae"],
     )
-    run.log(
-        {
-            "val/best_loss": best_val_loss,
-            "test/mse": test_metrics["mse"],
-            "test/mae": test_metrics["mae"],
-        },
-        step=trainer.global_step,
-    )
+    logged = {
+        "val/best_loss": best_val_loss,
+        "test/mse": test_metrics["mse"],
+        "test/mae": test_metrics["mae"],
+    }
+    if "wql" in test_metrics:
+        logged["test/wql"] = test_metrics["wql"]
+        logged["test/mean_pinball"] = test_metrics["mean_pinball"]
+    run.log(logged, step=trainer.global_step)
 
     if training_args.checkpoint_dir.exists():
         shutil.rmtree(training_args.checkpoint_dir)

@@ -1,10 +1,14 @@
-"""Evaluator: aggregated MSE/MAE over a dataset.
+"""Evaluator: aggregated MSE/MAE (and optionally quantile metrics) over a dataset.
 
 Parity: reference ``MultimodalEvaluator``
 (``/root/reference/src/tsfmx/evaluator.py:12-71``): per-batch means are
 weighted by batch size and divided by the total sample count — equivalent to
 the mean per-sample MSE/MAE over the dataset, which is what is computed here
 directly (one jitted scan over padded static batches).
+
+Extension: ``quantile_metrics=True`` additionally evaluates the adapter's
+quantile channels (mean pinball + WQL) — the reference never scores the
+quantile heads its Chronos backbone produces.
 """
 
 from __future__ import annotations
@@ -34,25 +38,45 @@ _EVAL_CACHE: OrderedDict[tuple, object] = OrderedDict()
 _EVAL_CACHE_MAX = 8
 
 
-def _eval_fn(model: MultimodalDecoder, horizon_len: int):
-    key = (id(model), horizon_len)
+def _eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool = False):
+    key = (id(model), horizon_len, quantile_metrics)
     if key in _EVAL_CACHE:
         _EVAL_CACHE.move_to_end(key)
     else:
+        if quantile_metrics:
+            levels, mean_channel = model.adapter.quantile_loss_spec
+            levels_arr = jnp.asarray(levels, jnp.float32)
 
         @jax.jit
         def run(params, batches):
             def one(_, mb):
                 masks = jnp.zeros_like(mb["context"], dtype=bool)
-                point = model(params, horizon_len, mb["context"], masks, mb.get("text"))
-                err = point.astype(jnp.float32) - mb["horizon"]
                 w = mb["weights"][:, None]
+                if quantile_metrics:
+                    full = model.forward_full(
+                        params, horizon_len, mb["context"], masks, mb.get("text")
+                    ).astype(jnp.float32)
+                    point = full[..., model.adapter.point_forecast_index]
+                    q_channels = [
+                        c for c in range(full.shape[-1]) if c != mean_channel
+                    ]
+                    errs = mb["horizon"][..., None] - full[..., q_channels]  # (B,H,Q)
+                    pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
+                    pb = jnp.sum(pinball * w[..., None]) / (horizon_len * len(levels))
+                    abs_y = jnp.sum(jnp.abs(mb["horizon"]) * w) / horizon_len
+                else:
+                    point = model(
+                        params, horizon_len, mb["context"], masks, mb.get("text")
+                    )
+                    pb = jnp.float32(0.0)
+                    abs_y = jnp.float32(0.0)
+                err = point.astype(jnp.float32) - mb["horizon"]
                 se = jnp.sum(err * err * w) / horizon_len
                 ae = jnp.sum(jnp.abs(err) * w) / horizon_len
-                return None, (se, ae)
+                return None, (se, ae, pb, abs_y)
 
-            _, (se, ae) = jax.lax.scan(one, None, batches)
-            return jnp.sum(se), jnp.sum(ae)
+            _, (se, ae, pb, abs_y) = jax.lax.scan(one, None, batches)
+            return jnp.sum(se), jnp.sum(ae), jnp.sum(pb), jnp.sum(abs_y)
 
         _EVAL_CACHE[key] = run
         while len(_EVAL_CACHE) > _EVAL_CACHE_MAX:
@@ -73,6 +97,7 @@ class MultimodalEvaluator:
         dataset,
         batch_size: int = 8,
         multimodal: bool | None = None,
+        quantile_metrics: bool = False,
     ) -> EvaluationMetrics:
         """Evaluate over the dataset; raises RuntimeError if it is empty.
 
@@ -82,6 +107,12 @@ class MultimodalEvaluator:
             multimodal: whether to feed text embeddings; default = presence
                 of text embeddings in the data (reference: presence of the
                 batch key toggles fusion, ``evaluator.py:53``).
+            quantile_metrics: also evaluate the quantile channels (extension
+                — the reference is MSE/MAE-only, ``evaluator.py:59-71``):
+                ``mean_pinball`` = mean pinball loss over the adapter's
+                ``quantile_loss_spec`` levels, and ``wql`` = the standard
+                weighted quantile loss, ``2·Σ pinball / Σ|y|`` averaged over
+                levels (scale-free; the headline Chronos-style metric).
         """
         if not isinstance(dataset, StackedDataset):
             if len(dataset) == 0:
@@ -125,5 +156,11 @@ class MultimodalEvaluator:
             )
             tree = jax.tree.map(lambda x: jax.device_put(x, spec), tree)
 
-        total_mse, total_mae = _eval_fn(self.model, horizon_len)(params, tree)
-        return EvaluationMetrics(mse=float(total_mse) / n, mae=float(total_mae) / n)
+        total_mse, total_mae, total_pb, total_abs = _eval_fn(
+            self.model, horizon_len, quantile_metrics
+        )(params, tree)
+        metrics = EvaluationMetrics(mse=float(total_mse) / n, mae=float(total_mae) / n)
+        if quantile_metrics:
+            metrics["mean_pinball"] = float(total_pb) / n
+            metrics["wql"] = 2.0 * float(total_pb) / max(float(total_abs), 1e-12)
+        return metrics

@@ -79,7 +79,14 @@ class BaselineCheckpoint(CheckpointBase):
 
 
 class EvaluationMetrics(TypedDict):
-    """Evaluation metrics (reference ``types.py:64-68``)."""
+    """Evaluation metrics (reference ``types.py:64-68``).
+
+    ``wql``/``mean_pinball`` are extensions over the reference's MSE/MAE-only
+    surface, present when the evaluator is asked for quantile metrics
+    (``MultimodalEvaluator.evaluate(quantile_metrics=True)``).
+    """
 
     mse: float
     mae: float
+    wql: NotRequired[float]
+    mean_pinball: NotRequired[float]

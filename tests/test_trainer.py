@@ -507,3 +507,47 @@ def test_mixed_precision_trainable_cast_trajectory(tmp_path, mesh):
     # bf16 activations/grads: same dynamics within ~2% per epoch.
     np.testing.assert_allclose(amp, fp32, rtol=2e-2)
     assert amp[-1] < amp[0]
+
+
+def test_evaluator_quantile_metrics_match_numpy_mirror(tmp_path, mesh):
+    """quantile_metrics=True: mean_pinball/WQL match a numpy recomputation
+    from forward_full (extension over the reference's MSE/MAE-only surface)."""
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+    from multimodal_timesfm_tpu.training.evaluator import MultimodalEvaluator
+
+    adapter = Chronos2Adapter(Chronos2Config.tiny())
+    decoder = MultimodalDecoder(adapter, MultimodalDecoderConfig(text_embedding_dims=TEXT_DIMS))
+    params = decoder.init(jax.random.key(3))
+    samples = _make_samples(10, 12, with_text=False)
+
+    evaluator = MultimodalEvaluator(decoder, mesh=mesh)
+    metrics = evaluator.evaluate(
+        params, samples, batch_size=4, multimodal=False, quantile_metrics=True
+    )
+    assert set(metrics) >= {"mse", "mae", "mean_pinball", "wql"}
+
+    # numpy mirror
+    import jax.numpy as jnp
+
+    levels, mean_channel = adapter.quantile_loss_spec
+    ctx = np.stack([s["context"] for s in samples])
+    hor = np.stack([s["horizon"] for s in samples])
+    full = np.asarray(
+        decoder.forward_full(
+            params, HORIZON, jnp.asarray(ctx), jnp.zeros_like(jnp.asarray(ctx), bool), None
+        ),
+        np.float64,
+    )
+    qc = [c for c in range(full.shape[-1]) if c != mean_channel]
+    errs = hor[..., None] - full[..., qc]
+    lv = np.asarray(levels)
+    pinball = np.maximum((lv - 1.0) * errs, lv * errs)
+    mean_pb = pinball.sum() / (len(samples) * HORIZON * len(levels))
+    wql = 2.0 * pinball.sum() / (len(levels) * np.abs(hor).sum())
+
+    np.testing.assert_allclose(metrics["mean_pinball"], mean_pb, rtol=1e-4)
+    np.testing.assert_allclose(metrics["wql"], wql, rtol=1e-4)
+    # plain evaluate is unchanged (reference parity path)
+    plain = evaluator.evaluate(params, samples, batch_size=4, multimodal=False)
+    assert set(plain) == {"mse", "mae"}
+    np.testing.assert_allclose(plain["mse"], metrics["mse"], rtol=1e-5)
