@@ -115,6 +115,18 @@ class LocalSweep:
         self._gamma = gamma
         # (config, value) pairs, value oriented so that LOWER is better.
         self._observations: list[tuple[dict[str, Any], float]] = []
+        # Durable surrogate state: observations persist to sweep_state.jsonl,
+        # so a crashed/re-launched sweep resumes its TPE history instead of
+        # restarting the sampler cold (the W&B service gives the reference
+        # this for free; offline it has to live on disk).
+        self._state_path = self.output_dir / "sweep_state.jsonl"
+        if self._state_path.exists():
+            for line in self._state_path.read_text().splitlines():
+                try:
+                    rec = json.loads(line)
+                    self._observations.append((rec["config"], float(rec["value"])))
+                except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+                    continue  # partial line from a crash mid-write
 
     # -- random sampling ----------------------------------------------------
 
@@ -261,6 +273,9 @@ class LocalSweep:
             return
         oriented = -value if self.metric.get("goal") == "maximize" else value
         self._observations.append((dict(config), float(oriented)))
+        self._state_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self._state_path, "a") as f:
+            f.write(json.dumps({"config": dict(config), "value": float(oriented)}) + "\n")
 
     def agent(self, function, count: int | None = None) -> None:
         """Run ``count`` trials (default 1), each inside a LocalRun context.
@@ -274,8 +289,9 @@ class LocalSweep:
         results_path = self.output_dir / "sweep_results.jsonl"
         metric_name = self.metric.get("name")
         failures = 0
+        offset = len(self._observations)  # resumed sweeps continue numbering
         for trial in range(count or 1):
-            run = LocalRun(f"local-{trial}", {}, results_path)
+            run = LocalRun(f"local-{offset + trial}", {}, results_path)
             try:
                 config = self.sample()
                 run.config = _Config(config)

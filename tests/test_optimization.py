@@ -312,3 +312,39 @@ def test_local_sweep_bayes_int_uniform(tmp_path):
     assert all(isinstance(n, int) and 1 <= n <= 32 for n in ns)
     # Later samples sit closer to the planted optimum than the startup draws.
     assert np.mean(np.abs(np.array(ns[25:]) - 20)) < np.mean(np.abs(np.array(ns[:8]) - 20))
+
+
+def test_local_sweep_state_survives_restart(tmp_path):
+    """A re-launched offline Bayes sweep restores its TPE observation
+    history from sweep_state.jsonl and continues trial numbering."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    space = {
+        "method": "bayes",
+        "metric": {"name": "loss", "goal": "minimize"},
+        "parameters": {"x": {"distribution": "uniform", "min": 0.0, "max": 1.0}},
+    }
+
+    def fn(run):
+        run.log({"loss": (run.config.x - 0.3) ** 2})
+
+    first = LocalSweep(space, tmp_path, seed=0, n_startup=10)
+    first.agent(fn, count=12)
+    assert len(first._observations) == 12
+
+    # New process simulation: a fresh LocalSweep over the same output dir.
+    second = LocalSweep(space, tmp_path, seed=1, n_startup=10)
+    assert len(second._observations) == 12  # restored, past startup
+    second.agent(fn, count=5)
+    assert len(second._observations) == 17
+    # Trial ids continue instead of overwriting local-0..4.
+    import json as _json
+
+    rows = [
+        _json.loads(l)
+        for l in (tmp_path / "sweep_results.jsonl").read_text().splitlines()
+    ]
+    assert any(r["run_id"] == "local-16" for r in rows)
+    # Post-restart samples use the restored history (TPE active, not startup):
+    xs = [c["x"] for c, _ in second._observations[12:]]
+    assert np.mean(np.abs(np.array(xs) - 0.3)) < 0.25
