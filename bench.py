@@ -418,8 +418,18 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
             ),
         ),
     }
-    params = {k: d.init(jax.random.key(0)) for k, d in decoders.items()}
-    frozen = {k: v for k, v in params[1].items() if k != "fusion"}
+    from multimodal_timesfm_tpu.models.fusion import init_fusion
+
+    # ONE full-backbone init (the backbone is shared); per-architecture
+    # fusion subtrees init separately — three full 0.8GB trees would eat
+    # device headroom on the HBM-sensitive workload being measured.
+    base_params = decoders[1].init(jax.random.key(0))
+    fusions = {
+        1: base_params["fusion"],
+        2: init_fusion(jax.random.key(2), decoders[2].fusion_spec),
+        3: init_fusion(jax.random.key(3), decoders[3].fusion_spec),
+    }
+    frozen = {k: v for k, v in base_params.items() if k != "fusion"}
     if compute_dtype != jnp.float32:
         frozen = jax.tree.map(
             lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, frozen
@@ -447,7 +457,7 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
         return run_vectorized_trials(
             decoders[layers],
             frozen,
-            stack_trainables([params[layers]["fusion"]] * t),
+            stack_trainables([fusions[layers]] * t),
             data,
             val,
             hp(t),
@@ -517,6 +527,17 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
     return 0
 
 
+def _p99(sorted_times: list) -> float:
+    """Empirical p99 from sorted samples: ceil(0.99 n)-th order statistic.
+
+    Conservative at small n (n<=100 reports the max) — the previous
+    int(n*0.99)-1 index silently dropped the worst observation.
+    """
+    import math as _math
+
+    return sorted_times[min(len(sorted_times) - 1, _math.ceil(0.99 * len(sorted_times)) - 1)]
+
+
 def latency_bench(dtype: str) -> int:
     """Single-request forecast latency (TimesFM 200M multimodal, context 32).
 
@@ -558,7 +579,7 @@ def latency_bench(dtype: str) -> int:
             {
                 "batch": batch,
                 "p50_ms": round(times[len(times) // 2], 3),
-                "p99_ms": round(times[int(len(times) * 0.99) - 1], 3),
+                "p99_ms": round(_p99(times), 3),
             }
         )
         _log(f"[latency] {rows[-1]}")
@@ -579,7 +600,7 @@ def latency_bench(dtype: str) -> int:
             "batch": 16,
             "ar_horizon": 512,
             "p50_ms": round(times[len(times) // 2], 3),
-            "p99_ms": round(times[int(len(times) * 0.99) - 1], 3),
+            "p99_ms": round(_p99(times), 3),
         }
     )
     _log(f"[latency] {rows[-1]}")

@@ -61,10 +61,15 @@ class Forecaster:
             self._batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
             )
+        from collections import OrderedDict
+
         self.params = params
         self._point_fn = {}
         self._full_fn = {}
-        self._ar_fn_cache = {}
+        # Bounded LRU: caller-controlled horizons mean unbounded distinct
+        # (chunk, rounds) keys; each entry pins a compiled executable.
+        self._ar_fn_cache: OrderedDict = OrderedDict()
+        self._ar_fn_cache_max = 8
 
     def _stage(self, arr):
         """Host array -> device; batch-sharded over the mesh when present."""
@@ -227,6 +232,7 @@ class Forecaster:
         then a ``lax.scan`` over the remaining context-sliding rounds."""
         key = (chunk, rounds, with_text)
         if key in self._ar_fn_cache:
+            self._ar_fn_cache.move_to_end(key)
             return self._ar_fn_cache[key]
 
         def slide(ctx, msk, preds):
@@ -252,6 +258,8 @@ class Forecaster:
 
         fn = jax.jit(decode)
         self._ar_fn_cache[key] = fn
+        while len(self._ar_fn_cache) > self._ar_fn_cache_max:
+            self._ar_fn_cache.popitem(last=False)
         return fn
 
     def forecast_dataset(

@@ -329,17 +329,7 @@ class MultimodalTrainer:
         grad_fn = jax.value_and_grad(self._loss_fn)
         cast_dtype = self._trainable_cast_dtype
 
-        def micro_loss_and_grads(state, frozen, mb):
-            trainable = state.trainable
-            if cast_dtype is not None:
-                # Mixed precision: differentiate the CAST copy — the backward
-                # then produces cast-dtype gradients and every GEMM reads
-                # cast-dtype weights; the fp32 masters are only touched by
-                # the optimizer update (fp32 accumulate there).
-                trainable = jax.tree.map(
-                    lambda x: x.astype(cast_dtype) if x.dtype == jnp.float32 else x,
-                    trainable,
-                )
+        def micro_loss_and_grads(trainable, frozen, mb):
             return grad_fn(
                 trainable,
                 frozen,
@@ -351,22 +341,35 @@ class MultimodalTrainer:
 
         def optimizer_step(state: TrainState, frozen, micro_xs, get_mb):
             """One optimizer step: accumulate over ``accum`` micro-batches, then update."""
+            trainable = state.trainable
+            if cast_dtype is not None:
+                # Mixed precision: differentiate the CAST copy — the backward
+                # then produces cast-dtype gradients and every GEMM reads
+                # cast-dtype weights; the fp32 masters are only touched by
+                # the optimizer update (fp32 accumulate there). Cast ONCE per
+                # optimizer step, outside the accumulation scan — inside it,
+                # the whole-tree fp32 read + cast-dtype write would repeat
+                # every micro-batch.
+                trainable = jax.tree.map(
+                    lambda x: x.astype(cast_dtype) if x.dtype == jnp.float32 else x,
+                    trainable,
+                )
             if accum == 1:
                 # No accumulation: skip the zeros-init + add pass over the
                 # gradient tree AND the scan boundary, letting XLA fuse the
                 # backward straight into the optimizer update — worth whole
                 # HBM round-trips over the 200M-param tree in baseline mode.
                 mb = jax.tree.map(lambda x: x[0], micro_xs)
-                loss, grads = micro_loss_and_grads(state, frozen, get_mb(mb))
+                loss, grads = micro_loss_and_grads(trainable, frozen, get_mb(mb))
                 losses = loss[None]
             else:
 
                 def micro(grads_acc, xs):
-                    loss, grads = micro_loss_and_grads(state, frozen, get_mb(xs))
+                    loss, grads = micro_loss_and_grads(trainable, frozen, get_mb(xs))
                     grads_acc = jax.tree.map(lambda a, g: a + g / accum, grads_acc, grads)
                     return grads_acc, loss
 
-                zeros = jax.tree.map(jnp.zeros_like, state.trainable)
+                zeros = jax.tree.map(jnp.zeros_like, trainable)
                 grads, losses = jax.lax.scan(micro, zeros, micro_xs)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)

@@ -263,6 +263,28 @@ class LocalSweep:
             return self._sample_tpe()
         return {name: self._sample_one(spec) for name, spec in self.parameters.items()}
 
+    def next_trial_index(self) -> int:
+        """First unused ``local-N`` trial index, scanned from the results log.
+
+        Counting observations instead would undercount (failed trials and
+        trials that never logged the target metric produce no observation),
+        yielding duplicate run_ids across relaunches.
+        """
+        results_path = self.output_dir / "sweep_results.jsonl"
+        last = -1
+        if results_path.exists():
+            for line in results_path.read_text().splitlines():
+                try:
+                    rid = json.loads(line).get("run_id", "")
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(rid, str) and rid.startswith("local-"):
+                    try:
+                        last = max(last, int(rid.split("-", 1)[1]))
+                    except ValueError:
+                        continue
+        return last + 1
+
     def observe(self, config: dict[str, Any], value: float) -> None:
         """Feed a completed trial back to the Bayes sampler.
 
@@ -289,7 +311,7 @@ class LocalSweep:
         results_path = self.output_dir / "sweep_results.jsonl"
         metric_name = self.metric.get("name")
         failures = 0
-        offset = len(self._observations)  # resumed sweeps continue numbering
+        offset = self.next_trial_index()  # resumed sweeps continue numbering
         for trial in range(count or 1):
             run = LocalRun(f"local-{offset + trial}", {}, results_path)
             try:

@@ -35,6 +35,21 @@ from multimodal_timesfm_tpu.utils.seed import set_seed  # noqa: E402
 _logger = setup_logger()
 
 
+def declared_embedding_dim(text_encoder_type: str, fusion) -> int | None:
+    """Declared dim for encoder validation, only when the fusion config
+    actually describes THIS encoder type.
+
+    The fusion config's ``text_embedding_dims`` is what the fusion MLP will
+    consume, so snapshot geometries should validate against it — but only if
+    ``fusion.text_encoder_type`` matches the encoder being built. A japanese
+    caching run with a default (english/384) model config must fall back to
+    the encoder's own per-type default (768), not crash on 384 vs 768.
+    """
+    if fusion.text_encoder_type == text_encoder_type:
+        return fusion.text_embedding_dims
+    return None
+
+
 def _parse_args() -> argparse.Namespace:
     parser = argparse.ArgumentParser(
         description="Pre-compute and cache text embeddings for Time-MMD domains."
@@ -64,12 +79,10 @@ def main() -> int:
     if args.seed is not None:
         set_seed(args.seed)
 
-    # Declared dim from the fusion config (what the fusion MLP consumes), so
-    # non-default snapshot geometries validate against the right dimension.
     text_encoder = build_text_encoder(
         args.text_encoder_type,
         args.text_model_dir,
-        embedding_dim=model_config.fusion.text_embedding_dims,
+        embedding_dim=declared_embedding_dim(args.text_encoder_type, model_config.fusion),
     )
     _logger.info(
         "Text encoder: %s (pretrained=%s)", args.text_encoder_type, text_encoder.is_pretrained

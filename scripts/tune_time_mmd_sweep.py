@@ -134,8 +134,9 @@ def main(mode: str = MODE) -> int:
         enable_compile_cache()
         sweep = LocalSweep(load_yaml(args.sweep_config), Path(output_dir), seed=args.seed or 0)
         results_path = Path(output_dir) / "sweep_results.jsonl"
+        offset = sweep.next_trial_index()  # relaunches continue numbering
         runs = [
-            LocalRun(f"local-{t}", sweep.sample(), results_path)
+            LocalRun(f"local-{offset + t}", sweep.sample(), results_path)
             for t in range(args.count or 1)
         ]
         _logger.info("Vectorized sweep: %d trial(s)", len(runs))
@@ -151,6 +152,14 @@ def main(mode: str = MODE) -> int:
             mesh=mesh,
             mode=mode,
         )
+        # Feed completed trials back to the Bayes engine's durable state —
+        # batched sampling gets no within-batch feedback (inherent), but a
+        # relaunch in the same output dir resumes with these observations.
+        metric_name = sweep.metric.get("name")
+        if metric_name is not None:
+            for run in runs:
+                if metric_name in run.summary:
+                    sweep.observe(dict(run.config.items()), float(run.summary[metric_name]))
         _logger.info("Sweep agent finished")
         return 0
 

@@ -310,3 +310,54 @@ def test_vectorized_baseline_rejects_over_budget_group(
         for line in (tmp_path / "nope" / "sweep_results.jsonl").read_text().strip().splitlines()
     ]
     assert any("exceeds the device budget" in r.get("error", "") for r in rows)
+
+
+def test_cache_declared_dim_ignores_mismatched_fusion_config():
+    """A japanese caching run with a default (english/384) model config must
+    fall back to the encoder's own dim, not crash on 384 vs 768 (review
+    finding r3): the declared dim only applies when the fusion config
+    describes the encoder being built."""
+    from examples.time_mmd.configs.model import FusionConfig
+    from scripts.cache_time_mmd_datasets import declared_embedding_dim
+
+    english_cfg = FusionConfig(text_encoder_type="english", text_embedding_dims=384)
+    assert declared_embedding_dim("english", english_cfg) == 384
+    assert declared_embedding_dim("japanese", english_cfg) is None  # per-type default
+    ja_cfg = FusionConfig(text_encoder_type="japanese", text_embedding_dims=768)
+    assert declared_embedding_dim("japanese", ja_cfg) == 768
+
+
+def test_vectorized_sweep_observes_and_continues_numbering(
+    data_root, configs, split_and_cache, tmp_path, monkeypatch
+):
+    """--vectorized feeds trial results to the durable TPE state and a
+    relaunch continues run-id numbering (review findings r3)."""
+    import scripts.tune_time_mmd_sweep as sweep_mod
+
+    out_dir = tmp_path / "vec_resume"
+    for _ in range(2):
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "tune",
+                "--sweep-config", str(configs / "sweep.yml"),
+                "--count", "1",
+                "--model-config", str(configs / "model.yml"),
+                "--forecast-config", str(configs / "forecast.yml"),
+                "--cache-dir", str(split_and_cache),
+                "--offline", "--vectorized",
+                "--output-dir", str(out_dir),
+                "--seed", "0",
+            ],
+        )
+        assert sweep_mod.main(mode="multimodal") == 0
+
+    state = (out_dir / "sweep_state.jsonl").read_text().strip().splitlines()
+    assert len(state) == 2  # both launches observed their trial
+    rows = [
+        json.loads(line)
+        for line in (out_dir / "sweep_results.jsonl").read_text().strip().splitlines()
+    ]
+    ids = {r["run_id"] for r in rows}
+    assert {"local-0", "local-1"} <= ids

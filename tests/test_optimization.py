@@ -348,3 +348,37 @@ def test_local_sweep_state_survives_restart(tmp_path):
     # Post-restart samples use the restored history (TPE active, not startup):
     xs = [c["x"] for c, _ in second._observations[12:]]
     assert np.mean(np.abs(np.array(xs) - 0.3)) < 0.25
+
+
+def test_next_trial_index_skips_failed_trials(tmp_path):
+    """Run-id numbering scans the results log, not the observation count —
+    failed trials (no metric logged) must not cause duplicate ids on resume."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    space = {
+        "method": "bayes",
+        "metric": {"name": "loss", "goal": "minimize"},
+        "parameters": {"x": {"distribution": "uniform", "min": 0.0, "max": 1.0}},
+    }
+    calls = []
+
+    def flaky(run):
+        calls.append(run.id)
+        if len(calls) == 2:
+            raise RuntimeError("boom")  # trial 1 fails -> no observation
+        run.log({"loss": run.config.x})
+
+    first = LocalSweep(space, tmp_path, seed=0)
+    first.agent(flaky, count=3)
+    assert len(first._observations) == 2  # one trial produced nothing
+
+    second = LocalSweep(space, tmp_path, seed=1)
+    assert second.next_trial_index() == 3  # from the log, not len(observations)
+    second.agent(flaky, count=1)
+    import json as _json
+
+    ids = [
+        _json.loads(l)["run_id"]
+        for l in (tmp_path / "sweep_results.jsonl").read_text().splitlines()
+    ]
+    assert len(set(ids)) == len(set(ids) | {"local-3"})  # no duplicates, continued
