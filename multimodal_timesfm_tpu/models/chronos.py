@@ -95,6 +95,14 @@ class Chronos2Config:
     # -20%, the O(s^2) attention growth dominates). Batch sizes must be
     # divisible by ``pack``.
     pack: int = 1
+    # Checkpoint the encoder layer body: the backward recomputes activations
+    # instead of streaming the per-layer residual stack (the r3 trace showed
+    # ~2x f32[L,B,S,768] buffers written fwd + read bwd) — trades FLOPs for
+    # HBM traffic. Measured impractical on the remote-compile deployment:
+    # checkpoint-inside-scan inside the fused multi-epoch program exceeded a
+    # 30-minute compile (r3 A/B DNF); default off, useful where compiles are
+    # local or memory pressure forces it.
+    remat: bool = False
     compute_dtype: Any = jnp.float32
 
     @property
@@ -237,6 +245,8 @@ def chronos_encoder(
         h = h + L.dense(layer["ffn_down"], jax.nn.relu(L.dense(layer["ffn_up"], normed)))
         return h, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     out, _ = jax.lax.scan(body, x.astype(cfg.compute_dtype), params["layers"])
     return L.rms_norm(params["final_norm"], out)
 

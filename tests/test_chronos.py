@@ -210,3 +210,40 @@ def test_config_pack_knob_matches_unpacked():
     plain = plain_adapter.forward(params, pre.input_embeddings, pre.masks)
     packed = packed_adapter.forward(params, pre.input_embeddings, pre.masks)
     np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), atol=1e-5)
+
+
+def test_remat_numerically_identical():
+    """cfg.remat=True (checkpointed encoder layers) changes scheduling only:
+    forward outputs and gradients match the default path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.normal(size=(3, 16)), jnp.float32)
+    masks = jnp.zeros((3, 16), bool)
+
+    cfg = Chronos2Config.tiny()
+    adapter = Chronos2Adapter(cfg)
+    params = adapter.init(jax.random.key(0))
+    adapter_r = Chronos2Adapter(dataclasses.replace(cfg, remat=True))
+
+    def loss(a):
+        def f(p):
+            pre = a.preprocess(p, ctx, masks)
+            out = a.forward(p, pre.input_embeddings, pre.masks)
+            return jnp.sum(a.postprocess(p, 8, out, pre.normalization_stats) ** 2)
+
+        return f
+
+    v0, g0 = jax.value_and_grad(loss(adapter))(params)
+    v1, g1 = jax.value_and_grad(loss(adapter_r))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        g0,
+        g1,
+    )
