@@ -46,5 +46,5 @@ def test_dryrun_multichip_fresh_process_forces_platform():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     for backbone in ("timesfm", "chronos"):
-        for path in ("multimodal-loop", "baseline-fused", "evaluator"):
+        for path in ("multimodal-loop", "baseline-fused", "evaluator", "serving"):
             assert f"dryrun_multichip OK [{backbone}/{path}]" in proc.stdout
