@@ -176,8 +176,17 @@ def causal_attention(
         out = dense(v_proj, x)
         return dense(params["out"], out.astype(x.dtype))
 
-    qkv = dense(params["qkv"], x).reshape(batch, seq, 3, num_heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    # Split the fused qkv output with LAST-axis (contiguous) slices. The
+    # previous reshape-to-(B,S,3,H,D) + middle-axis indexing forced strided
+    # layout copies: the r3 c512 trace showed two ~220us transpose fusions +
+    # copies per layer-step (~20% of device time) just shuffling qkv. Column
+    # blocks [0:HD]=q, [HD:2HD]=k, [2HD:3HD]=v — same packing the seq==1
+    # fast path slices from the kernel.
+    hd = num_heads * head_dim
+    qkv = dense(params["qkv"], x)  # (B, S, 3*H*D)
+    q = qkv[..., :hd].reshape(batch, seq, num_heads, head_dim)
+    k = qkv[..., hd : 2 * hd].reshape(batch, seq, num_heads, head_dim)
+    v = qkv[..., 2 * hd :].reshape(batch, seq, num_heads, head_dim)
     q = _scale_query(q, params["per_dim_scale"], head_dim)
     key_valid = ~paddings  # (B, N)
     if supports_pallas(seq, head_dim):
