@@ -259,7 +259,8 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # grads+m+v per optimizer step), so fewer/bigger steps win. With fp32
     # moments 8192 measured flat vs 4096 (r2); bf16 moments halve the
     # optimizer share and shift the optimum up (r3 back-to-back at 32k
-    # samples: 4096 -> 81.7k, 8192 -> 85.7k series/s, MFU 0.36).
+    # samples: 4096 -> 81.7k, 8192 -> 85.7k, 16384 -> 77.7k series/s —
+    # 8192 is the measured optimum, MFU 0.36).
     "timesfm_baseline_c32": ("timesfm", 32, 32, 8192, 32768, 2, "baseline"),
     # Attention-relevant regimes: 16 and 64 patch tokens.
     "timesfm_mm_c512": ("timesfm", 512, 32, 256, 8192, 2, "multimodal"),
