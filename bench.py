@@ -253,7 +253,7 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # back-to-back, r2); 4096 measured a dead heat at steady state
     # (180.68k vs 180.66k, r3) — the GEMMs already run ~85% of peak at 2048
     # (docs/PERF.md), so larger batches only add latency.
-    "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 65536, 3, "multimodal"),
+    "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 131072, 3, "multimodal"),
     # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
     # the epoch is dominated by AdamW update HBM traffic (~200M params x
     # grads+m+v per optimizer step), so fewer/bigger steps win. With fp32
@@ -261,7 +261,7 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # optimizer share and shift the optimum up (r3 back-to-back at 32k
     # samples: 4096 -> 81.7k, 8192 -> 85.7k, 16384 -> 77.7k series/s —
     # 8192 is the measured optimum, MFU 0.36).
-    "timesfm_baseline_c32": ("timesfm", 32, 32, 8192, 32768, 2, "baseline"),
+    "timesfm_baseline_c32": ("timesfm", 32, 32, 8192, 65536, 2, "baseline"),
     # Attention-relevant regimes: 16 and 64 patch tokens.
     "timesfm_mm_c512": ("timesfm", 512, 32, 256, 8192, 2, "multimodal"),
     "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 2048, 2, "multimodal"),
