@@ -64,12 +64,12 @@ class Forecaster:
         from collections import OrderedDict
 
         self.params = params
-        self._point_fn = {}
-        self._full_fn = {}
-        # Bounded LRU: caller-controlled horizons mean unbounded distinct
-        # (chunk, rounds) keys; each entry pins a compiled executable.
+        # Bounded LRUs: caller-controlled horizons mean unbounded distinct
+        # keys; each entry pins a compiled executable.
+        self._point_fn: OrderedDict = OrderedDict()
+        self._full_fn: OrderedDict = OrderedDict()
         self._ar_fn_cache: OrderedDict = OrderedDict()
-        self._ar_fn_cache_max = 8
+        self._fn_cache_max = 8
 
     def _stage(self, arr):
         """Host array -> device; batch-sharded over the mesh when present."""
@@ -80,7 +80,9 @@ class Forecaster:
     def _get_fn(self, horizon: int, full: bool, with_text: bool):
         cache = self._full_fn if full else self._point_fn
         key = (horizon, with_text)
-        if key not in cache:
+        if key in cache:
+            cache.move_to_end(key)
+        else:
             method = self.model.forward_full if full else self.model
 
             if with_text:
@@ -88,6 +90,8 @@ class Forecaster:
             else:
                 fn = jax.jit(lambda p, x, m: method(p, horizon, x, m, None))
             cache[key] = fn
+            while len(cache) > self._fn_cache_max:
+                cache.popitem(last=False)
         return cache[key]
 
     def forecast(
@@ -258,7 +262,7 @@ class Forecaster:
 
         fn = jax.jit(decode)
         self._ar_fn_cache[key] = fn
-        while len(self._ar_fn_cache) > self._ar_fn_cache_max:
+        while len(self._ar_fn_cache) > self._fn_cache_max:
             self._ar_fn_cache.popitem(last=False)
         return fn
 

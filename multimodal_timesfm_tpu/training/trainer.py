@@ -369,7 +369,10 @@ class MultimodalTrainer:
                     grads_acc = jax.tree.map(lambda a, g: a + g / accum, grads_acc, grads)
                     return grads_acc, loss
 
-                zeros = jax.tree.map(jnp.zeros_like, trainable)
+                # Accumulator dtype follows the MASTERS (fp32), not the cast
+                # copy: under mixed precision the per-micro-batch grads are
+                # bf16 but the running sum must stay fp32 (a + g promotes).
+                zeros = jax.tree.map(jnp.zeros_like, state.trainable)
                 grads, losses = jax.lax.scan(micro, zeros, micro_xs)
             updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)

@@ -127,6 +127,14 @@ class LocalSweep:
                     self._observations.append((rec["config"], float(rec["value"])))
                 except (json.JSONDecodeError, KeyError, TypeError, ValueError):
                     continue  # partial line from a crash mid-write
+        # A resumed sweep must not REPLAY the base seed's draw sequence —
+        # with the same seed, relaunched random/startup trials would sample
+        # the exact configs already tried. Fold the resume position into the
+        # seed so every relaunch explores a fresh stream (still deterministic
+        # given the on-disk history).
+        resumed_at = self.next_trial_index()
+        if resumed_at:
+            self._rng = np.random.default_rng([seed, resumed_at])
 
     # -- random sampling ----------------------------------------------------
 

@@ -207,3 +207,18 @@ def test_fused_ar_decode_matches_host_loop_semantics():
         warnings.simplefilter("ignore")
         got = f.forecast_autoregressive(horizon, ctx, text_embeddings=text)
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_forecaster_fn_caches_are_bounded():
+    """Caller-controlled horizons must not grow the executable caches
+    without bound (review finding r3)."""
+    decoder, params = _build()
+    rng = np.random.default_rng(12)
+    ctx = rng.normal(size=(2, 16)).astype(np.float32)
+
+    txt = rng.normal(size=(2, 4, 6)).astype(np.float32)
+    f = Forecaster(decoder, params, batch_size=2)
+    for horizon in range(1, 7):  # (horizon, with_text) keys: 12 > bound of 8
+        f.forecast(horizon, ctx)
+        f.forecast(horizon, ctx, text_embeddings=txt)
+    assert len(f._point_fn) <= f._fn_cache_max

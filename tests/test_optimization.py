@@ -382,3 +382,29 @@ def test_next_trial_index_skips_failed_trials(tmp_path):
         for l in (tmp_path / "sweep_results.jsonl").read_text().splitlines()
     ]
     assert len(set(ids)) == len(set(ids) | {"local-3"})  # no duplicates, continued
+
+
+def test_resumed_sweep_does_not_replay_configs(tmp_path):
+    """A relaunched sweep must draw FRESH configs, not replay the base
+    seed's sequence (review finding r3: same-seed resume wasted the whole
+    resumed budget on duplicate trials)."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    space = {
+        "method": "bayes",
+        "metric": {"name": "loss", "goal": "minimize"},
+        "parameters": {"x": {"distribution": "uniform", "min": 0.0, "max": 1.0}},
+    }
+
+    def fn(run):
+        run.log({"loss": run.config.x})
+
+    first = LocalSweep(space, tmp_path, seed=0, n_startup=100)  # stays random
+    first.agent(fn, count=4)
+    first_xs = [c["x"] for c, _ in first._observations]
+
+    # Same seed, same output dir — the resumed engine must not repeat them.
+    second = LocalSweep(space, tmp_path, seed=0, n_startup=100)
+    second.agent(fn, count=4)
+    second_xs = [c["x"] for c, _ in second._observations[4:]]
+    assert not np.allclose(sorted(first_xs), sorted(second_xs))

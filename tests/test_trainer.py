@@ -551,3 +551,46 @@ def test_evaluator_quantile_metrics_match_numpy_mirror(tmp_path, mesh):
     plain = evaluator.evaluate(params, samples, batch_size=4, multimodal=False)
     assert set(plain) == {"mse", "mae"}
     np.testing.assert_allclose(plain["mse"], metrics["mse"], rtol=1e-5)
+
+
+def test_mixed_precision_accum_keeps_fp32_accumulator(tmp_path, mesh):
+    """accum>1 under trainable_cast_dtype=bf16: grads accumulate in fp32
+    (review finding r3 — the accumulator must follow the masters' dtype),
+    so accum=2/batch B closely matches accum=1/batch 2B."""
+    import jax.numpy as jnp
+
+    samples = _make_samples(16, 15, with_text=False)
+
+    def run(sub, accum, batch):
+        decoder = _make_decoder()
+        params = decoder.init(jax.random.key(6))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=_args(
+                tmp_path / sub,
+                per_device_train_batch_size=batch,
+                num_train_epochs=1,
+                gradient_accumulation_steps=accum,
+                learning_rate=5e-3,
+                save_strategy="no",
+                load_best_model_at_end=False,
+            ),
+            train_dataset=PreprocessedDataset(samples, "baseline"),
+            val_dataset=PreprocessedDataset(samples[:8], "baseline"),
+            mode="baseline",
+            mesh=mesh,
+            trainable_cast_dtype=jnp.bfloat16,
+        )
+        trainer.train_epoch()
+        return jax.device_get(trainer.state.trainable)
+
+    a = run("accum2", accum=2, batch=8)
+    b = run("accum1", accum=1, batch=16)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=3e-2, atol=8e-3
+        ),
+        a,
+        b,
+    )
