@@ -70,10 +70,20 @@ def init_rms_norm(dim: int) -> Params:
 
 
 def rms_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    x32 = x.astype(jnp.float32)
-    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    normed = x32 * jax.lax.rsqrt(var + eps)
-    return (normed * (1.0 + params["scale"])).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + eps) * (1.0 + params["scale"])
+    # Low-precision path: accumulate the variance in fp32 but keep every
+    # (..., D)-sized intermediate in x.dtype. The naive upcast-first version
+    # makes autodiff save TWO fp32 copies of x per norm as residuals — under
+    # a scanned transformer these stack into f32[L, B, S, D] HBM streams
+    # written forward + read backward (measured ~11% of Chronos step time;
+    # see docs/PERF.md). Here the saved tensors are x (already live) and one
+    # x.dtype product; only the (..., 1) inverse scale is new.
+    d = x.shape[-1]
+    var = (jnp.einsum("...d,...d->...", x, x, preferred_element_type=jnp.float32) / d)[..., None]
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return x * inv * (1.0 + params["scale"]).astype(x.dtype)
 
 
 def init_layer_norm(dim: int) -> Params:
@@ -81,11 +91,22 @@ def init_layer_norm(dim: int) -> Params:
 
 
 def layer_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    normed = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return (normed * params["scale"] + params["bias"]).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    # Low-precision path: fp32 moment accumulation, x.dtype intermediates
+    # (see rms_norm). Centering before the variance reduction keeps it
+    # two-pass-stable; ``centered`` is a backward residual for the output
+    # multiply anyway, so it adds no stream the fp32 version didn't.
+    d = x.shape[-1]
+    mu32 = (jnp.einsum("...d->...", x.astype(jnp.float32)) / d)[..., None]
+    centered = x - mu32.astype(x.dtype)
+    var = (
+        jnp.einsum("...d,...d->...", centered, centered, preferred_element_type=jnp.float32) / d
+    )[..., None]
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return centered * inv * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

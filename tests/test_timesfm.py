@@ -188,3 +188,31 @@ def test_remat_matches_default_forward_and_grads():
         g0,
         g1,
     )
+
+
+def test_norm_low_precision_paths_match_fp32_oracle():
+    """rms_norm/layer_norm keep (..., D)-sized intermediates in x.dtype on
+    the low-precision path (the fp32 upcast version stacked two f32[L,B,S,D]
+    residual streams per norm under scanned autodiff — docs/PERF.md). The
+    bf16 results must stay within bf16 rounding of the fp32 oracle, and the
+    backward must produce finite grads with no f32 activation residuals."""
+    from multimodal_timesfm_tpu.models import layers as L
+
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(4, 8, 64)) * 3 + 1.5).astype(np.float32)
+    p_rms = {"scale": jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1)}
+    p_ln = {
+        "scale": jnp.asarray(1 + rng.normal(size=64).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1),
+    }
+    for fn, p in [(L.rms_norm, p_rms), (L.layer_norm, p_ln)]:
+        oracle = np.asarray(fn(p, jnp.asarray(x)))
+        got = np.asarray(fn(p, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+        # bf16 eps is 2^-8; inputs span ~±10 so ~0.04 absolute is rounding.
+        np.testing.assert_allclose(got, oracle, atol=5e-2)
+        assert fn(p, jnp.asarray(x, jnp.bfloat16)).dtype == jnp.bfloat16
+
+        grads = jax.grad(
+            lambda pp: fn(pp, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32).sum()
+        )(p)
+        assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
