@@ -236,13 +236,22 @@ def chronos_encoder(
         # T5 convention: no 1/sqrt(d) scaling (folded into weights).
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits + bias + key_mask
+        # Deliberately the composed softmax, NOT layers.softmax_lowp: the
+        # fp32 probs residual it would remove costs ~3% of leaf time here,
+        # but on this geometry (12 heads x 67 tokens) XLA pays it back with
+        # worse backward layouts — the bf16-only residual forced per-layer
+        # copy ops on the stacked qkv reads, measured -5% end-to-end
+        # (2927 -> 2784 series/s back-to-back on v5e) while the same swap
+        # gains +7% on the TimesFM XLA attention path (docs/PERF.md).
         weights = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
         ctx = ctx.reshape(b, s, cfg.model_dim).astype(h.dtype)
         h = h + L.dense(layer["attn"]["out"], ctx)
 
         normed = L.rms_norm(layer["ffn_norm"], h)
-        h = h + L.dense(layer["ffn_down"], jax.nn.relu(L.dense(layer["ffn_up"], normed)))
+        # L.relu recomputes the pred mask from its saved output in backward,
+        # dropping the bool[L, B, S, F] residual stack (layers.py).
+        h = h + L.dense(layer["ffn_down"], L.relu(L.dense(layer["ffn_up"], normed)))
         return h, None
 
     if cfg.remat:
@@ -338,7 +347,7 @@ class Chronos2Adapter(TsfmAdapter):
             [patch(time_enc), patch(normed), patch(valid)], axis=-1
         ).astype(cfg.compute_dtype)
         input_embeds = L.residual_block(
-            params["input_patch_embedding"], features, act=jax.nn.relu
+            params["input_patch_embedding"], features, act=L.relu
         )
 
         # Per-patch attention mask: a patch is valid iff any point in it is valid.
@@ -393,7 +402,7 @@ class Chronos2Adapter(TsfmAdapter):
         zeros = jnp.zeros((batch, n_out, out_p), dtype)
         future_features = jnp.concatenate([future_time_enc, zeros, zeros], axis=-1)
         future_embeds = L.residual_block(
-            params["input_patch_embedding"], future_features, act=jax.nn.relu
+            params["input_patch_embedding"], future_features, act=L.relu
         )
 
         attention_mask = (~masks).astype(dtype)  # (B, Nc) 1.0 = valid
@@ -454,7 +463,7 @@ class Chronos2Adapter(TsfmAdapter):
         # reference-default horizon 32 / mop 64).
         n_h = -(-horizon // cfg.output_patch_size)
         preds = L.residual_block(
-            params["output_patch_embedding"], output_embeddings[:, :n_h], act=jax.nn.relu
+            params["output_patch_embedding"], output_embeddings[:, :n_h], act=L.relu
         ).astype(jnp.float32)
         preds = preds.reshape(batch, n_h, q, cfg.output_patch_size)
         preds = jnp.transpose(preds, (0, 2, 1, 3)).reshape(batch, q, n_h * cfg.output_patch_size)

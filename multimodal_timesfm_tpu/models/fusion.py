@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_timesfm_tpu.models.base import Params
-from multimodal_timesfm_tpu.models.layers import xavier_uniform
+from multimodal_timesfm_tpu.models.layers import relu, xavier_uniform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,7 +59,6 @@ def apply_fusion(params: Params, ts_embeddings: jax.Array, text_embeddings: jax.
     """Project text embeddings through Linear(bias-free)+ReLU layers, add to ts embeddings."""
     h = text_embeddings.astype(ts_embeddings.dtype)
     for layer in params["layers"]:
-        h = jax.nn.relu(
-            jnp.dot(h, layer["kernel"], preferred_element_type=jnp.float32).astype(h.dtype)
-        )
+        # layers.relu saves only its output as the backward residual.
+        h = relu(jnp.dot(h, layer["kernel"], preferred_element_type=jnp.float32).astype(h.dtype))
     return ts_embeddings + h

@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -58,6 +59,79 @@ def dense(params: Params, x: jax.Array) -> jax.Array:
     if "bias" in params:
         y = y + params["bias"]
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# residual-lean activations
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def relu(x: jax.Array) -> jax.Array:
+    """ReLU whose backward recomputes the mask from the saved *output*.
+
+    ``jax.nn.relu``'s VJP saves the bool predicate ``x > 0`` as a residual;
+    under a scanned transformer that predicate stacks into a
+    ``bool[L, B, S, F]`` HBM stream written forward + read backward — the
+    FFN's relu pred-mask stack measured at 4-8% of leaf device time on the
+    c512/Chronos workloads (docs/PERF.md). But the relu *output* is already a
+    residual of the down-projection matmul that consumes it, and the mask is
+    recoverable from it exactly: ``relu(x) > 0  <=>  x > 0`` wherever the
+    gradient is nonzero (at ``x <= 0`` both give cotangent 0, matching
+    ``jax.nn.relu``'s convention at 0). Saving only the output makes the two
+    consumers share one stacked residual and drops the bool stream entirely —
+    numerically identical gradients.
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def softmax_lowp(logits: jax.Array, dtype: Any) -> jax.Array:
+    """``softmax(logits, axis=-1)`` in fp32, returned AND saved in ``dtype``.
+
+    Equivalent forward to ``jax.nn.softmax(logits).astype(dtype)``, but the
+    only backward residual is the low-precision weights tensor — which the
+    attention-probs @ V matmul consuming it saves anyway, so the two share
+    one stacked residual. The composed form additionally saves the *fp32*
+    softmax output for its own VJP: an ``f32[L, B, H, S, S]`` stream through
+    the layer scan (~3% of leaf time at c512/Chronos, docs/PERF.md). The VJP
+    here is the standard softmax rule evaluated from the ``dtype`` weights
+    upcast to fp32 — the cotangent rounds at ``dtype`` resolution, the same
+    tolerance class as the norm low-precision residuals above.
+
+    Rows that are fully ``-inf``-masked produce NaN weights in forward
+    (0/0), identical to ``jax.nn.softmax``; callers guarantee such rows
+    cannot occur (causal self-attention always sees the diagonal).
+    """
+    w = jax.nn.softmax(logits, axis=-1)
+    return w.astype(dtype)
+
+
+def _softmax_lowp_fwd(logits, dtype):
+    w = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return w, w
+
+
+def _softmax_lowp_bwd(dtype, w, g):
+    w32 = w.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dl = w32 * (g32 - jnp.sum(g32 * w32, axis=-1, keepdims=True))
+    return (dl,)
+
+
+softmax_lowp.defvjp(_softmax_lowp_fwd, _softmax_lowp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +333,7 @@ def transformer_layer(
     x = x + causal_attention(params["attn"], h, paddings, num_heads, head_dim)
 
     h = layer_norm(params["ffn_norm"], x)
-    h = dense(params["ffn_down"], jax.nn.relu(dense(params["ffn_up"], h)))
+    h = dense(params["ffn_down"], relu(dense(params["ffn_up"], h)))
     h = h * (~paddings)[..., None].astype(h.dtype)
     return x + h
 

@@ -52,7 +52,11 @@ def xla_causal_attention(q, k, v, key_valid):
     causal = jnp.tril(jnp.ones((seq, seq), bool))
     mask = causal[None, None, :, :] & key_valid[:, None, None, :]
     logits = jnp.where(mask, logits, _NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    # softmax_lowp saves only the low-precision weights for backward (shared
+    # with the PV matmul's residual) instead of an extra fp32 probs stack.
+    from multimodal_timesfm_tpu.models.layers import softmax_lowp
+
+    weights = softmax_lowp(logits, q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32).astype(
         q.dtype
     )

@@ -216,3 +216,80 @@ def test_norm_low_precision_paths_match_fp32_oracle():
             lambda pp: fn(pp, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32).sum()
         )(p)
         assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
+
+
+def test_residual_lean_relu_matches_jax_nn_relu_exactly():
+    """layers.relu recomputes the pred mask from its saved output in backward
+    (dropping the bool residual stack through scanned layers — docs/PERF.md);
+    its value AND gradient must be bit-identical to jax.nn.relu, including the
+    zero-gradient-at-0 convention."""
+    from multimodal_timesfm_tpu.models import layers as L
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64,)).astype(np.float32)
+    x[::7] = 0.0  # exercise the tie point explicitly
+    for dt in (jnp.float32, jnp.bfloat16):
+        xj = jnp.asarray(x, dt)
+        np.testing.assert_array_equal(np.asarray(L.relu(xj)), np.asarray(jax.nn.relu(xj)))
+        g0 = jax.grad(lambda v: (jax.nn.relu(v) * jnp.asarray(x, dt)).sum())(xj)
+        g1 = jax.grad(lambda v: (L.relu(v) * jnp.asarray(x, dt)).sum())(xj)
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_softmax_lowp_forward_exact_backward_within_rounding():
+    """layers.softmax_lowp forward equals softmax().astype(dtype) exactly; its
+    backward (evaluated from the saved low-precision weights instead of an
+    fp32 probs residual) stays within the output dtype's rounding of the
+    composed gradient, and masked (-inf) columns get exactly zero gradient."""
+    from multimodal_timesfm_tpu.models import layers as L
+
+    rng = np.random.default_rng(5)
+    logits = (rng.normal(size=(2, 3, 8, 8)) * 4).astype(np.float32)
+    logits[..., -2:] = np.float32(np.finfo(np.float32).min)  # masked keys
+    lj = jnp.asarray(logits)
+
+    for dt, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+        np.testing.assert_array_equal(
+            np.asarray(L.softmax_lowp(lj, dt)),
+            np.asarray(jax.nn.softmax(lj, axis=-1).astype(dt)),
+        )
+        cot = jnp.asarray(rng.normal(size=logits.shape).astype(np.float32), dt)
+        g_ref = jax.grad(
+            lambda l: (jax.nn.softmax(l, axis=-1).astype(dt) * cot).astype(jnp.float32).sum()
+        )(lj)
+        g_new = jax.grad(
+            lambda l: (L.softmax_lowp(l, dt) * cot).astype(jnp.float32).sum()
+        )(lj)
+        assert g_new.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=atol)
+        assert np.all(np.asarray(g_new)[..., -2:] == 0.0)
+
+
+def test_scanned_backward_has_no_bool_or_f32_probs_residual_stacks():
+    """Regression for the residual-lean ops: the grad jaxpr of a scanned bf16
+    transformer stack must carry NO bool[L, ...] pred-mask stack at the ffn
+    width and NO f32[L, B, H, S, S] attention-probs stack — only bf16 copies
+    shared with the matmul residuals (docs/PERF.md, round-3/4 fixes)."""
+    import re
+
+    from multimodal_timesfm_tpu.models import layers as L
+
+    # LYR distinct from every other dim so a leading-LYR shape in the jaxpr
+    # text is unambiguously a residual stacked through the scan.
+    LYR, B, S, D, H, HD, F = 3, 2, 16, 32, 2, 16, 64
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        L.init_stacked_layers(jax.random.key(0), LYR, D, H, HD, F),
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, S, D)), jnp.bfloat16)
+    pad = jnp.zeros((B, S), bool)
+
+    def loss(p):
+        return L.stacked_transformer(p, x, pad, H, HD).astype(jnp.float32).sum()
+
+    text = str(jax.make_jaxpr(jax.grad(loss))(params))
+    # Any L-leading bool stack is the relu pred mask (or a re-stacked where
+    # mask); none should survive.
+    assert not re.search(rf"bool\[{LYR},", text), "a bool residual stack is back"
+    # Any L-leading f32 stack ending in (S, S) is the fp32 softmax residual.
+    assert not re.search(rf"f32\[{LYR},[0-9,]*{S},{S}\]", text), "fp32 probs stack is back"
