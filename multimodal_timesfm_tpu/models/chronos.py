@@ -236,7 +236,7 @@ def chronos_encoder(
         # T5 convention: no 1/sqrt(d) scaling (folded into weights).
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits + bias + key_mask
-        # Deliberately the composed softmax, NOT layers.softmax_lowp: the
+        # Deliberately the composed softmax, NOT ops.attention.softmax_lowp: the
         # fp32 probs residual it would remove costs ~3% of leaf time here,
         # but on this geometry (12 heads x 67 tokens) XLA pays it back with
         # worse backward layouts — the bf16-only residual forced per-layer

@@ -17,7 +17,6 @@ Conventions:
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any
 
@@ -97,43 +96,6 @@ def _relu_bwd(y, g):
 relu.defvjp(_relu_fwd, _relu_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def softmax_lowp(logits: jax.Array, dtype: Any) -> jax.Array:
-    """``softmax(logits, axis=-1)`` in fp32, returned AND saved in ``dtype``.
-
-    Equivalent forward to ``jax.nn.softmax(logits).astype(dtype)``, but the
-    only backward residual is the low-precision weights tensor — which the
-    attention-probs @ V matmul consuming it saves anyway, so the two share
-    one stacked residual. The composed form additionally saves the *fp32*
-    softmax output for its own VJP: an ``f32[L, B, H, S, S]`` stream through
-    the layer scan (~3% of leaf time at c512/Chronos, docs/PERF.md). The VJP
-    here is the standard softmax rule evaluated from the ``dtype`` weights
-    upcast to fp32 — the cotangent rounds at ``dtype`` resolution, the same
-    tolerance class as the norm low-precision residuals above.
-
-    Rows that are fully ``-inf``-masked produce NaN weights in forward
-    (0/0), identical to ``jax.nn.softmax``; callers guarantee such rows
-    cannot occur (causal self-attention always sees the diagonal).
-    """
-    w = jax.nn.softmax(logits, axis=-1)
-    return w.astype(dtype)
-
-
-def _softmax_lowp_fwd(logits, dtype):
-    w = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    return w, w
-
-
-def _softmax_lowp_bwd(dtype, w, g):
-    w32 = w.astype(jnp.float32)
-    g32 = g.astype(jnp.float32)
-    dl = w32 * (g32 - jnp.sum(g32 * w32, axis=-1, keepdims=True))
-    return (dl,)
-
-
-softmax_lowp.defvjp(_softmax_lowp_fwd, _softmax_lowp_bwd)
-
-
 # ---------------------------------------------------------------------------
 # normalization
 # ---------------------------------------------------------------------------
@@ -162,7 +124,13 @@ def rms_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     # inverse scale itself.
     var = jnp.mean((x * x).astype(jnp.float32), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
-    return x * inv * (1.0 + params["scale"]).astype(x.dtype)
+    # Apply the learned gain in fp32 with ONE final cast: casting the gain
+    # itself to bf16 first would snap (1 + scale) to a ~0.004 grid, silently
+    # zeroing learned per-feature deviations below ~0.2% (coherent, not
+    # stochastic). The f32 product is no one's residual — the multiply saves
+    # its x.dtype operand and the (D,) gain — so no f32[L, B, S, D] stream
+    # returns (pinned by the scanned-jaxpr test).
+    return ((x * inv) * (1.0 + params["scale"])).astype(x.dtype)
 
 
 def init_layer_norm(dim: int) -> Params:
@@ -183,7 +151,8 @@ def layer_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     centered = x - mu32.astype(x.dtype)
     var = jnp.mean((centered * centered).astype(jnp.float32), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
-    return centered * inv * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
+    # fp32 scale/bias application, one final cast — see rms_norm.
+    return ((centered * inv) * params["scale"] + params["bias"]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +196,9 @@ def init_attention(rng: jax.Array, model_dims: int, num_heads: int, head_dim: in
 
 def _scale_query(q: jax.Array, per_dim_scale: jax.Array, head_dim: int) -> jax.Array:
     scale = (_R_SOFTPLUS_0 / math.sqrt(head_dim)) * jax.nn.softplus(per_dim_scale)
-    return q * scale.astype(q.dtype)
+    # fp32 multiply, one final cast — learned per-dim deviations below bf16
+    # resolution still move the product (see rms_norm).
+    return (q * scale).astype(q.dtype)
 
 
 def causal_attention(

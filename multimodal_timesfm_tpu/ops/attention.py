@@ -37,6 +37,44 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def softmax_lowp(logits, dtype):
+    """``softmax(logits, axis=-1)`` in fp32, returned AND saved in ``dtype``.
+
+    Equivalent forward to ``jax.nn.softmax(logits).astype(dtype)``, but the
+    only backward residual is the low-precision weights tensor — which the
+    attention-probs @ V matmul consuming it saves anyway, so the two share
+    one stacked residual. The composed form additionally saves the *fp32*
+    softmax output for its own VJP: an ``f32[L, B, H, S, S]`` stream through
+    the layer scan. The VJP here is the standard softmax rule evaluated from
+    the ``dtype`` weights upcast to fp32 — the cotangent rounds at ``dtype``
+    resolution. Measured +7% end-to-end on the TimesFM c512 workload, but
+    -5% on the Chronos encoder (XLA repaid the removed stream with layout
+    copies on the stacked qkv backward reads), so Chronos deliberately keeps
+    the composed form — A/B per model before adopting (docs/PERF.md).
+
+    Rows that are fully ``-inf``-masked produce NaN weights in forward
+    (0/0), identical to ``jax.nn.softmax``; callers guarantee such rows
+    cannot occur (causal self-attention always sees the diagonal).
+    """
+    return jax.nn.softmax(logits, axis=-1).astype(dtype)
+
+
+def _softmax_lowp_fwd(logits, dtype):
+    w = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return w, w
+
+
+def _softmax_lowp_bwd(dtype, w, g):
+    w32 = w.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dl = w32 * (g32 - jnp.sum(g32 * w32, axis=-1, keepdims=True))
+    return (dl,)
+
+
+softmax_lowp.defvjp(_softmax_lowp_fwd, _softmax_lowp_bwd)
+
+
 def xla_causal_attention(q, k, v, key_valid):
     """Reference XLA implementation.
 
@@ -54,8 +92,6 @@ def xla_causal_attention(q, k, v, key_valid):
     logits = jnp.where(mask, logits, _NEG_INF)
     # softmax_lowp saves only the low-precision weights for backward (shared
     # with the PV matmul's residual) instead of an extra fp32 probs stack.
-    from multimodal_timesfm_tpu.models.layers import softmax_lowp
-
     weights = softmax_lowp(logits, q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32).astype(
         q.dtype

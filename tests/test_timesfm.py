@@ -218,6 +218,30 @@ def test_norm_low_precision_paths_match_fp32_oracle():
         assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
 
 
+def test_norm_small_learned_gains_affect_bf16_forward():
+    """The learned norm scale must be applied in fp32 with one final cast:
+    a gain of 1.003 — which bf16 CANNOT represent (it rounds to exactly 1.0,
+    so casting the gain before the multiply makes it a coherent no-op) — has
+    to move a healthy fraction of output elements through the final rounding
+    (round-4 review finding: small learned gains must not silently vanish)."""
+    from multimodal_timesfm_tpu.models import layers as L
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 16, 64)) * 2, jnp.bfloat16)
+
+    base = np.asarray(L.rms_norm({"scale": jnp.zeros((64,))}, x).astype(jnp.float32))
+    nudged = np.asarray(
+        L.rms_norm({"scale": jnp.full((64,), 3e-3, jnp.float32)}, x).astype(jnp.float32)
+    )
+    assert np.mean(base != nudged) > 0.3, "3e-3 rms_norm gain had (almost) no forward effect"
+
+    p0 = {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))}
+    p1 = {"scale": jnp.full((64,), 1.003, jnp.float32), "bias": jnp.zeros((64,))}
+    base = np.asarray(L.layer_norm(p0, x).astype(jnp.float32))
+    nudged = np.asarray(L.layer_norm(p1, x).astype(jnp.float32))
+    assert np.mean(base != nudged) > 0.3, "1.003 layer_norm gain had (almost) no forward effect"
+
+
 def test_residual_lean_relu_matches_jax_nn_relu_exactly():
     """layers.relu recomputes the pred mask from its saved output in backward
     (dropping the bool residual stack through scanned layers — docs/PERF.md);
@@ -237,11 +261,11 @@ def test_residual_lean_relu_matches_jax_nn_relu_exactly():
 
 
 def test_softmax_lowp_forward_exact_backward_within_rounding():
-    """layers.softmax_lowp forward equals softmax().astype(dtype) exactly; its
-    backward (evaluated from the saved low-precision weights instead of an
+    """ops.attention.softmax_lowp forward equals softmax().astype(dtype) exactly;
+    its backward (evaluated from the saved low-precision weights instead of an
     fp32 probs residual) stays within the output dtype's rounding of the
     composed gradient, and masked (-inf) columns get exactly zero gradient."""
-    from multimodal_timesfm_tpu.models import layers as L
+    from multimodal_timesfm_tpu.ops.attention import softmax_lowp
 
     rng = np.random.default_rng(5)
     logits = (rng.normal(size=(2, 3, 8, 8)) * 4).astype(np.float32)
@@ -250,7 +274,7 @@ def test_softmax_lowp_forward_exact_backward_within_rounding():
 
     for dt, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
         np.testing.assert_array_equal(
-            np.asarray(L.softmax_lowp(lj, dt)),
+            np.asarray(softmax_lowp(lj, dt)),
             np.asarray(jax.nn.softmax(lj, axis=-1).astype(dt)),
         )
         cot = jnp.asarray(rng.normal(size=logits.shape).astype(np.float32), dt)
@@ -258,7 +282,7 @@ def test_softmax_lowp_forward_exact_backward_within_rounding():
             lambda l: (jax.nn.softmax(l, axis=-1).astype(dt) * cot).astype(jnp.float32).sum()
         )(lj)
         g_new = jax.grad(
-            lambda l: (L.softmax_lowp(l, dt) * cot).astype(jnp.float32).sum()
+            lambda l: (softmax_lowp(l, dt) * cot).astype(jnp.float32).sum()
         )(lj)
         assert g_new.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=atol)
@@ -293,3 +317,8 @@ def test_scanned_backward_has_no_bool_or_f32_probs_residual_stacks():
     assert not re.search(rf"bool\[{LYR},", text), "a bool residual stack is back"
     # Any L-leading f32 stack ending in (S, S) is the fp32 softmax residual.
     assert not re.search(rf"f32\[{LYR},[0-9,]*{S},{S}\]", text), "fp32 probs stack is back"
+    # Any L-leading f32 stack at (B, S, D) or (B, S, F) is a norm/activation
+    # fp32 upcast residual — the +20.8%-baseline r3 fix (docs/PERF.md). Only
+    # the (B, S, 1) variance/inverse-scale stacks may be fp32.
+    assert not re.search(rf"f32\[{LYR},{B},{S},{D}\]", text), "norm f32 residual stack is back"
+    assert not re.search(rf"f32\[{LYR},{B},{S},{F}\]", text), "ffn f32 residual stack is back"
