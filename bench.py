@@ -723,6 +723,12 @@ def main() -> int:
     if arch_cli and args.tiny:
         parser.error("--arch is ignored under --tiny (tiny pins its own geometry)")
 
+    # Honor an env platform pin via jax.config — env vars alone don't stop
+    # sitecustomize-registered PJRT plugins from initializing (and hanging
+    # when the TPU tunnel is down); see utils/platform.apply_platform_env.
+    from multimodal_timesfm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     _enable_compile_cache()
     if args.attention_bench:
         return attention_bench(args.dtype)

@@ -13,7 +13,17 @@ import os
 
 
 def apply_platform_env() -> None:
-    platform = os.environ.get("MTT_PLATFORM")
+    """Pin ``jax_platforms`` from ``MTT_PLATFORM`` or ``JAX_PLATFORMS``.
+
+    ``MTT_PLATFORM`` wins. Mirroring ``JAX_PLATFORMS`` into ``jax.config``
+    looks redundant but is not: deployments that register an out-of-tree
+    PJRT plugin in ``sitecustomize`` can still *initialize* that plugin
+    during backend discovery even when the env var names only ``cpu`` —
+    observed here as every env-pinned CPU process hanging whenever the TPU
+    tunnel is unreachable. The explicit config update is the only pin that
+    fully bypasses the plugin.
+    """
+    platform = os.environ.get("MTT_PLATFORM") or os.environ.get("JAX_PLATFORMS")
     if platform:
         import jax
 
