@@ -1,21 +1,32 @@
-"""SavedModel export for serving.
+"""Serving exports: TF SavedModel and pure-JAX StableHLO artifacts.
 
-Production-serving surface the reference lacks entirely: the jitted forecast
-pipeline (preprocess -> fusion -> backbone -> postprocess) is exported as a
-TF SavedModel via ``orbax.export``/jax2tf with a polymorphic batch dimension,
-so the same artifact serves any batch size from TF Serving / Vertex /
-tflite-convertible runtimes, with no JAX (or Python model code) on the
-serving side. Parity with the in-process JAX forward is tested to fp32
-round-off (``tests/test_serving_export.py``).
+Production-serving surface the reference lacks entirely. Two formats:
 
-Requires ``tensorflow`` and ``orbax-export`` (both optional extras).
+* :func:`export_saved_model` — the jitted forecast pipeline (preprocess ->
+  fusion -> backbone -> postprocess) as a TF SavedModel via
+  ``orbax.export``/jax2tf with a polymorphic batch dimension, for TF
+  Serving / Vertex / tflite-convertible runtimes with no JAX on the serving
+  side. Requires ``tensorflow`` + ``orbax-export`` (optional extras).
+* :func:`export_stablehlo` / :func:`load_stablehlo` — the same pipeline as a
+  portable ``jax.export`` StableHLO artifact (weights alongside), loadable
+  by any JAX process on any lowered-for platform with NO framework or model
+  Python code — only jax itself. This is the TPU-native serving format: the
+  serialized module is exactly what XLA compiles, so there is no TF interop
+  layer and no dependency beyond jax.
+
+Parity with the in-process JAX forward is tested to fp32 round-off
+(``tests/test_serving_export.py``).
 """
 
 from __future__ import annotations
 
+import json
+import pickle
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multimodal_timesfm_tpu.models.base import Params
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
@@ -96,3 +107,119 @@ def export_saved_model(
         full_outputs,
     )
     return output_dir
+
+
+_STABLEHLO_FILE = "forecast.stablehlo"
+_PARAMS_FILE = "params.pkl"
+_MANIFEST_FILE = "manifest.json"
+
+
+def export_stablehlo(
+    decoder: MultimodalDecoder,
+    params: Params,
+    horizon: int,
+    context_len: int,
+    output_dir: str | Path,
+    multimodal: bool = False,
+    full_outputs: bool = False,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+) -> Path:
+    """Export the forecast pipeline as a portable ``jax.export`` artifact.
+
+    The artifact directory contains the serialized StableHLO module
+    (symbolic batch dimension, lowered for every platform in ``platforms``),
+    the weights as a pickled numpy pytree, and a JSON manifest with the
+    serving geometry. :func:`load_stablehlo` reconstructs a callable from it
+    without importing any model code — the compute graph is baked into the
+    module, exactly as XLA will compile it.
+
+    Weights travel OUTSIDE the module (as a call argument) rather than as
+    baked-in constants: embedded 200M-parameter constants bloat the program
+    and are rejected by remote-compile deployments (see CLAUDE.md), and
+    separate weights let a fine-tune update the artifact without re-lowering.
+
+    Args / returns mirror :func:`export_saved_model`.
+    """
+    from jax import export as jax_export
+
+    num_patches = context_len // decoder.adapter.patch_len
+    text_dims = decoder.fusion_spec.text_embedding_dims
+
+    if multimodal:
+
+        def apply_fn(p, context, text_embeddings):
+            masks = jnp.zeros_like(context, dtype=bool)
+            out = {"point_forecast": decoder(p, horizon, context, masks, text_embeddings)}
+            if full_outputs:
+                out["full_forecast"] = decoder.forward_full(
+                    p, horizon, context, masks, text_embeddings
+                )
+            return out
+
+    else:
+
+        def apply_fn(p, context):
+            masks = jnp.zeros_like(context, dtype=bool)
+            out = {"point_forecast": decoder(p, horizon, context, masks, None)}
+            if full_outputs:
+                out["full_forecast"] = decoder.forward_full(p, horizon, context, masks, None)
+            return out
+
+    param_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), params
+    )
+    (b,) = jax_export.symbolic_shape("b")
+    specs = [param_specs, jax.ShapeDtypeStruct((b, context_len), jnp.float32)]
+    if multimodal:
+        specs.append(jax.ShapeDtypeStruct((b, num_patches, text_dims), jnp.float32))
+    exported = jax_export.export(jax.jit(apply_fn), platforms=list(platforms))(*specs)
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    (output_dir / _STABLEHLO_FILE).write_bytes(exported.serialize())
+    with open(output_dir / _PARAMS_FILE, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, params), f)
+    (output_dir / _MANIFEST_FILE).write_text(json.dumps({
+        "format": "jax.export.stablehlo",
+        "horizon": horizon,
+        "context_len": context_len,
+        "num_patches": num_patches,
+        "text_dims": text_dims,
+        "multimodal": multimodal,
+        "full_outputs": full_outputs,
+        "platforms": list(platforms),
+    }, indent=2))
+    _logger.info(
+        "Exported StableHLO artifact to %s (horizon=%d, context=%d, multimodal=%s, "
+        "full=%s, platforms=%s)",
+        output_dir, horizon, context_len, multimodal, full_outputs, list(platforms),
+    )
+    return output_dir
+
+
+def load_stablehlo(artifact_dir: str | Path):
+    """Load a :func:`export_stablehlo` artifact into a serving callable.
+
+    Needs only jax — no model code, no framework import. Returns
+    ``(serve_fn, manifest)`` where ``serve_fn(context[, text_embeddings])``
+    returns the exported output dict; the batch dimension is free.
+    """
+    from jax import export as jax_export
+
+    artifact_dir = Path(artifact_dir)
+    exported = jax_export.deserialize((artifact_dir / _STABLEHLO_FILE).read_bytes())
+    with open(artifact_dir / _PARAMS_FILE, "rb") as f:
+        params = pickle.load(f)
+    manifest = json.loads((artifact_dir / _MANIFEST_FILE).read_text())
+
+    if manifest["multimodal"]:
+
+        def serve_fn(context, text_embeddings):
+            return exported.call(params, context, text_embeddings)
+
+    else:
+
+        def serve_fn(context):
+            return exported.call(params, context)
+
+    return serve_fn, manifest

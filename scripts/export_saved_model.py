@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""Export a (fine-tuned) forecaster as a TF SavedModel for serving.
+"""Export a (fine-tuned) forecaster for serving.
+
+Formats: TF SavedModel (default) or a portable jax.export StableHLO
+artifact (``--format stablehlo``) served by any JAX process via
+``multimodal_timesfm_tpu.serving.load_stablehlo`` — no TF interop.
 
 Example:
     python scripts/export_saved_model.py \
@@ -16,6 +20,10 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from multimodal_timesfm_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
 
 from examples.time_mmd.configs.model import ModelConfig  # noqa: E402
 from examples.time_mmd.sweep_lib import build_adapter, init_decoder_params  # noqa: E402
@@ -42,6 +50,14 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--horizon", type=int, default=32)
     parser.add_argument("--multimodal", action="store_true")
     parser.add_argument("--full-outputs", action="store_true", help="Also emit all channels.")
+    parser.add_argument(
+        "--format",
+        choices=("savedmodel", "stablehlo"),
+        default="savedmodel",
+        help="savedmodel: TF SavedModel (needs tensorflow+orbax-export). "
+        "stablehlo: portable jax.export artifact served by any JAX process "
+        "(multimodal_timesfm_tpu.serving.load_stablehlo) with no TF interop.",
+    )
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
@@ -66,7 +82,11 @@ def main() -> int:
         params["fusion" if key == "fusion_params" else "adapter"] = checkpoint[key]
         _logger.info("Loaded %s from %s", key, args.fusion_checkpoint)
 
-    export_saved_model(
+    export = export_saved_model if args.format == "savedmodel" else None
+    if export is None:
+        from multimodal_timesfm_tpu.serving import export_stablehlo as export
+
+    export(
         decoder,
         params,
         horizon=args.horizon,
