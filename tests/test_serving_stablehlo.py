@@ -74,3 +74,31 @@ def test_stablehlo_unimodal_and_fresh_params(tmp_path):
         pickle.dump(jax.tree.map(np.asarray, decoder.init(jax.random.key(7))), f)
     serve_fn2, _ = load_stablehlo(out_dir)
     assert not np.allclose(first, np.asarray(serve_fn2(ctx)["point_forecast"]))
+
+
+def test_stablehlo_chronos_quantile_serving(tmp_path):
+    """Chronos backbone exports under a symbolic batch dim (group-ids and
+    quantile head included) and serves full quantile channels."""
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+    from multimodal_timesfm_tpu.serving import export_stablehlo, load_stablehlo
+
+    decoder = MultimodalDecoder(
+        Chronos2Adapter(Chronos2Config.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
+    )
+    params = decoder.init(jax.random.key(3))
+    out_dir = export_stablehlo(
+        decoder, params, horizon=8, context_len=16, output_dir=tmp_path / "hlo_ch",
+        multimodal=True, full_outputs=True, platforms=("cpu",),
+    )
+    serve_fn, manifest = load_stablehlo(out_dir)
+    rng = np.random.default_rng(4)
+    ctx = rng.normal(size=(3, 16)).astype(np.float32)
+    txt = rng.normal(size=(3, manifest["num_patches"], 6)).astype(np.float32)
+    served = serve_fn(ctx, txt)
+    masks = jnp.zeros((3, 16), bool)
+    np.testing.assert_allclose(
+        np.asarray(served["full_forecast"]),
+        np.asarray(decoder.forward_full(params, 8, jnp.asarray(ctx), masks, jnp.asarray(txt))),
+        atol=1e-5,
+    )
+    assert np.asarray(served["full_forecast"]).shape[-1] == len(decoder.adapter.config.quantiles)
