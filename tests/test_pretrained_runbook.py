@@ -183,6 +183,12 @@ def test_runbook_documents_the_real_surfaces():
     assert "--text-model-dir" in Path(cache_mod.__file__).read_text()
     assert "--pretrained-dir" in RUNBOOK
     assert "--pretrained-dir" in Path(tune_mod.__file__).read_text()
+    import scripts.export_saved_model as export_mod
+
+    export_src = Path(export_mod.__file__).read_text()
+    assert "--format" in RUNBOOK and "stablehlo" in RUNBOOK
+    for flag in ("--format", "stablehlo", "--fusion-checkpoint", "--pretrained-dir"):
+        assert flag in export_src
     env = re.search(r"MULTIMODAL_TIMESFM_SNAPSHOTS", RUNBOOK)
     assert env and "MULTIMODAL_TIMESFM_SNAPSHOTS" in Path(snapshot_mod.__file__).read_text()
     # Referenced name-rule tables and tests still exist.
