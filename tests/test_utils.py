@@ -63,7 +63,18 @@ def test_apply_platform_env(monkeypatch):
     apply_platform_env()  # idempotent on an already-cpu test session
     assert jax.devices()[0].platform == "cpu"
     monkeypatch.delenv("MTT_PLATFORM")
-    apply_platform_env()  # no-op without the env var
+    apply_platform_env()  # no-op without either env var
+
+    # JAX_PLATFORMS alone must ALSO pin via jax.config (env-only pinning
+    # does not stop sitecustomize-registered plugins from initializing and
+    # hanging when their backend is unreachable); MTT_PLATFORM wins.
+    seen = []
+    monkeypatch.setattr(jax.config, "update", lambda k, v: seen.append((k, v)))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    apply_platform_env()
+    monkeypatch.setenv("MTT_PLATFORM", "tpu")
+    apply_platform_env()
+    assert seen == [("jax_platforms", "cpu"), ("jax_platforms", "tpu")]
 
 
 def test_setup_logger_idempotent_and_file_additive(tmp_path):
