@@ -51,6 +51,43 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _check_backend_reachable() -> None:
+    """Fail loudly (exit 2) if backend init doesn't finish within the budget.
+
+    A down TPU tunnel blocks ``jax.devices()`` indefinitely inside backend
+    init with no timeout of its own — a driver-run bench would then hang
+    forever and record nothing. Probing in a daemon thread bounds the wait
+    (``MTT_BACKEND_INIT_TIMEOUT`` seconds, default 900 — first contact on a
+    cold tunnel can legitimately take minutes). No CPU fallback on purpose:
+    a silently-CPU "TPU benchmark" number would poison the artifact.
+    """
+    import os
+    import threading
+
+    import jax
+
+    timeout = float(os.environ.get("MTT_BACKEND_INIT_TIMEOUT", "900"))
+    result: dict = {}
+
+    def probe() -> None:
+        try:
+            result["devices"] = jax.devices()
+        except Exception as exc:  # backend registered but unreachable
+            result["error"] = exc
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        _log(f"[bench] FATAL: jax backend init still blocked after {timeout:.0f}s "
+             "(TPU tunnel down?). Set MTT_PLATFORM=cpu to bench on CPU explicitly.")
+        raise SystemExit(2)
+    if "error" in result:
+        _log(f"[bench] FATAL: jax backend init failed: {result['error']}")
+        raise SystemExit(2)
+    _log(f"[bench] backend ready: {result['devices']}")
+
+
 # ---------------------------------------------------------------------------
 # analytic FLOPs (dense matmul terms only; elementwise ignored)
 # ---------------------------------------------------------------------------
@@ -729,6 +766,7 @@ def main() -> int:
     from multimodal_timesfm_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    _check_backend_reachable()
     _enable_compile_cache()
     if args.attention_bench:
         return attention_bench(args.dtype)
