@@ -27,6 +27,7 @@ constraints hold; falls back to XLA otherwise.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -35,6 +36,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla_attention():
+    """Route ``causal_attention`` through the portable XLA path while tracing.
+
+    The Pallas kernels lower to TPU custom calls, which cannot appear in a
+    multi-platform ``jax.export`` / jax2tf artifact (and would pin a
+    CPU-host export to the slow path on TPU, or crash a TPU-host export's
+    CPU lowering). Serving exports trace under this context so the artifact
+    embeds the platform-portable XLA attention on every lowering. Trade-off
+    (documented on the exporters): beyond 2048 patch tokens the XLA path
+    materializes O(S^2) logits, which the flash kernels exist to avoid.
+    """
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -299,7 +323,7 @@ def supports_flash(seq: int, dim: int) -> bool:
     ``flash_causal_attention``, so the only gates are the crossover and the
     head-dim bound (<=256, same as the whole-sequence kernels).
     """
-    if jax.default_backend() not in ("tpu", "axon"):
+    if _FORCE_XLA or jax.default_backend() not in ("tpu", "axon"):
         return False
     return seq > 2048 and dim <= 256
 
@@ -317,6 +341,6 @@ def supports_pallas(seq: int, dim: int) -> bool:
     Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
     S=1024 compiles on v5e, S=2048 does not.
     """
-    if jax.default_backend() not in ("tpu", "axon"):
+    if _FORCE_XLA or jax.default_backend() not in ("tpu", "axon"):
         return False
     return seq >= 256 and seq % 8 == 0 and seq <= 1024 and dim <= 256

@@ -21,7 +21,6 @@ Parity with the in-process JAX forward is tested to fp32 round-off
 from __future__ import annotations
 
 import json
-import pickle
 from pathlib import Path
 
 import jax
@@ -83,21 +82,27 @@ def export_saved_model(
             [None, num_patches, text_dims], tf.float32, "text_embeddings"
         )
 
+    from multimodal_timesfm_tpu.ops.attention import force_xla_attention
+
     # Serialize for both CPU and TPU serving runtimes — without this the
     # artifact embeds only the platform the export PROCESS ran on (e.g. a
-    # TPU-host export would refuse to serve on CPU).
-    module = JaxModule(
-        params,
-        apply_fn,
-        trainable=False,
-        input_polymorphic_shape=poly,
-        jax2tf_kwargs={"native_serialization_platforms": ("cpu", "tpu")},
-    )
-    manager = ExportManager(
-        module, [ServingConfig("serving_default", input_signature=[signature])]
-    )
-    output_dir = Path(output_dir)
-    manager.save(str(output_dir))
+    # TPU-host export would refuse to serve on CPU). Pallas custom calls are
+    # not portable across those platforms, so the whole trace-and-lower span
+    # runs under force_xla_attention (the artifact embeds the XLA attention
+    # on every lowering; O(S^2) caveat documented on that context manager).
+    with force_xla_attention():
+        module = JaxModule(
+            params,
+            apply_fn,
+            trainable=False,
+            input_polymorphic_shape=poly,
+            jax2tf_kwargs={"native_serialization_platforms": ("cpu", "tpu")},
+        )
+        manager = ExportManager(
+            module, [ServingConfig("serving_default", input_signature=[signature])]
+        )
+        output_dir = Path(output_dir)
+        manager.save(str(output_dir))
     _logger.info(
         "Exported SavedModel to %s (horizon=%d, context=%d, multimodal=%s, full=%s)",
         output_dir,
@@ -110,8 +115,82 @@ def export_saved_model(
 
 
 _STABLEHLO_FILE = "forecast.stablehlo"
-_PARAMS_FILE = "params.pkl"
+_PARAMS_FILE = "params.npz"
 _MANIFEST_FILE = "manifest.json"
+
+
+def _flatten_params(params: Params) -> tuple[dict, dict, dict]:
+    """Flatten a dict/list pytree of arrays into npz-safe flat leaves.
+
+    Returns ``(leaves, leaf_spec, list_lens)``: raw-byte views keyed by
+    "/"-joined paths, per-leaf shape/dtype, and the lengths of list-valued
+    containers (so the exact structure round-trips). Byte views rather than
+    the arrays themselves because ``np.savez`` silently degrades non-native
+    dtypes (bf16 -> void). No pickle anywhere: a serving host can load an
+    artifact from an untrusted source without executing code.
+    """
+    leaves: dict[str, np.ndarray] = {}
+    leaf_spec: dict[str, dict] = {}
+    list_lens: dict[str, int] = {}
+
+    def walk(prefix: tuple[str, ...], node) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                key = str(k)
+                if "/" in key:
+                    raise ValueError(f"param key {key!r} contains '/'")
+                walk(prefix + (key,), v)
+        elif isinstance(node, (list, tuple)):
+            list_lens["/".join(prefix)] = len(node)
+            for i, v in enumerate(node):
+                walk(prefix + (str(i),), v)
+        else:
+            arr = np.asarray(node)
+            name = "/".join(prefix)
+            leaves[name] = np.frombuffer(arr.tobytes(), np.uint8)
+            leaf_spec[name] = {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+
+    walk((), params)
+    return leaves, leaf_spec, list_lens
+
+
+def _unflatten_params(npz, leaf_spec: dict, list_lens: dict):
+    """Inverse of :func:`_flatten_params` (lists come back as lists)."""
+    root: dict = {}
+    for name, meta in leaf_spec.items():
+        arr = np.frombuffer(npz[name].tobytes(), dtype=np.dtype(meta["dtype"]))
+        arr = arr.reshape(meta["shape"])
+        node = root
+        parts = name.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = arr
+
+    def listify(prefix: tuple[str, ...], node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(prefix + (k,), v) for k, v in node.items()}
+        path = "/".join(prefix)
+        if path in list_lens:
+            return [out[str(i)] for i in range(list_lens[path])]
+        return out
+
+    return listify((), root)
+
+
+def save_stablehlo_params(artifact_dir: str | Path, params: Params) -> None:
+    """Re-point an exported artifact at new weights (e.g. after a fine-tune).
+
+    Rewrites ``params.npz`` + the manifest's leaf spec without touching the
+    lowered module — shapes/dtypes must match what was exported.
+    """
+    artifact_dir = Path(artifact_dir)
+    leaves, leaf_spec, list_lens = _flatten_params(params)
+    manifest = json.loads((artifact_dir / _MANIFEST_FILE).read_text())
+    manifest["leaf_spec"] = leaf_spec
+    manifest["list_lens"] = list_lens
+    np.savez(artifact_dir / _PARAMS_FILE, **leaves)
+    (artifact_dir / _MANIFEST_FILE).write_text(json.dumps(manifest, indent=2))
 
 
 def export_stablehlo(
@@ -128,15 +207,24 @@ def export_stablehlo(
 
     The artifact directory contains the serialized StableHLO module
     (symbolic batch dimension, lowered for every platform in ``platforms``),
-    the weights as a pickled numpy pytree, and a JSON manifest with the
-    serving geometry. :func:`load_stablehlo` reconstructs a callable from it
-    without importing any model code — the compute graph is baked into the
-    module, exactly as XLA will compile it.
+    the weights as a pickle-free npz (raw-byte leaves + manifest spec, so
+    untrusted artifacts never execute code on load), and a JSON manifest
+    with the serving geometry. :func:`load_stablehlo` reconstructs a
+    callable from it without importing any model code — the compute graph is
+    baked into the module, exactly as XLA will compile it.
 
     Weights travel OUTSIDE the module (as a call argument) rather than as
     baked-in constants: embedded 200M-parameter constants bloat the program
     and are rejected by remote-compile deployments (see CLAUDE.md), and
-    separate weights let a fine-tune update the artifact without re-lowering.
+    :func:`save_stablehlo_params` lets a fine-tune update the artifact
+    without re-lowering.
+
+    Attention portability: tracing runs under
+    ``ops.attention.force_xla_attention`` — Pallas TPU custom calls cannot
+    appear in a multi-platform module, so every lowering embeds the XLA
+    attention path. Contexts beyond 2048 patch tokens (where the tiled flash
+    kernels exist to avoid XLA's O(S^2) logits) should be served in-process
+    via ``inference.Forecaster`` instead.
 
     Args / returns mirror :func:`export_saved_model`.
     """
@@ -165,20 +253,26 @@ def export_stablehlo(
                 out["full_forecast"] = decoder.forward_full(p, horizon, context, masks, None)
             return out
 
+    from multimodal_timesfm_tpu.ops.attention import force_xla_attention
+
+    # .dtype via numpy metadata only — jnp.asarray here would round-trip
+    # every leaf through the device just to read its dtype.
     param_specs = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), params
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), np.dtype(getattr(x, "dtype", None) or np.result_type(x))),
+        params,
     )
     (b,) = jax_export.symbolic_shape("b")
     specs = [param_specs, jax.ShapeDtypeStruct((b, context_len), jnp.float32)]
     if multimodal:
         specs.append(jax.ShapeDtypeStruct((b, num_patches, text_dims), jnp.float32))
-    exported = jax_export.export(jax.jit(apply_fn), platforms=list(platforms))(*specs)
+    with force_xla_attention():
+        exported = jax_export.export(jax.jit(apply_fn), platforms=list(platforms))(*specs)
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     (output_dir / _STABLEHLO_FILE).write_bytes(exported.serialize())
-    with open(output_dir / _PARAMS_FILE, "wb") as f:
-        pickle.dump(jax.tree.map(np.asarray, params), f)
+    leaves, leaf_spec, list_lens = _flatten_params(params)
+    np.savez(output_dir / _PARAMS_FILE, **leaves)
     (output_dir / _MANIFEST_FILE).write_text(json.dumps({
         "format": "jax.export.stablehlo",
         "horizon": horizon,
@@ -188,6 +282,8 @@ def export_stablehlo(
         "multimodal": multimodal,
         "full_outputs": full_outputs,
         "platforms": list(platforms),
+        "leaf_spec": leaf_spec,
+        "list_lens": list_lens,
     }, indent=2))
     _logger.info(
         "Exported StableHLO artifact to %s (horizon=%d, context=%d, multimodal=%s, "
@@ -200,17 +296,26 @@ def export_stablehlo(
 def load_stablehlo(artifact_dir: str | Path):
     """Load a :func:`export_stablehlo` artifact into a serving callable.
 
-    Needs only jax — no model code, no framework import. Returns
+    Needs only jax — no model code, no framework import, and no pickle
+    (artifacts from untrusted sources never execute code). Returns
     ``(serve_fn, manifest)`` where ``serve_fn(context[, text_embeddings])``
     returns the exported output dict; the batch dimension is free.
+
+    The weights are ``jax.device_put`` once at load — each call reuses the
+    resident buffers instead of re-uploading the full parameter set per
+    request. Do NOT wrap ``serve_fn`` in another ``jax.jit`` that closes
+    over it: the params would bake into the traced program as constants
+    (CLAUDE.md's remote-compile payload pitfall); ``exported.call`` already
+    executes the pre-lowered module.
     """
     from jax import export as jax_export
 
     artifact_dir = Path(artifact_dir)
     exported = jax_export.deserialize((artifact_dir / _STABLEHLO_FILE).read_bytes())
-    with open(artifact_dir / _PARAMS_FILE, "rb") as f:
-        params = pickle.load(f)
     manifest = json.loads((artifact_dir / _MANIFEST_FILE).read_text())
+    with np.load(artifact_dir / _PARAMS_FILE, allow_pickle=False) as npz:
+        params = _unflatten_params(npz, manifest["leaf_spec"], manifest["list_lens"])
+    params = jax.device_put(params)
 
     if manifest["multimodal"]:
 

@@ -31,7 +31,7 @@ from multimodal_timesfm_tpu.models.decoder import (  # noqa: E402
     MultimodalDecoder,
     MultimodalDecoderConfig,
 )
-from multimodal_timesfm_tpu.serving import export_saved_model  # noqa: E402
+from multimodal_timesfm_tpu.serving import export_saved_model, export_stablehlo  # noqa: E402
 from multimodal_timesfm_tpu.utils.logging import setup_logger  # noqa: E402
 
 _logger = setup_logger()
@@ -82,10 +82,7 @@ def main() -> int:
         params["fusion" if key == "fusion_params" else "adapter"] = checkpoint[key]
         _logger.info("Loaded %s from %s", key, args.fusion_checkpoint)
 
-    export = export_saved_model if args.format == "savedmodel" else None
-    if export is None:
-        from multimodal_timesfm_tpu.serving import export_stablehlo as export
-
+    export = export_saved_model if args.format == "savedmodel" else export_stablehlo
     export(
         decoder,
         params,

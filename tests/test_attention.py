@@ -189,3 +189,17 @@ def test_supports_flash_covers_non_multiples(monkeypatch):
     assert attention_mod.supports_flash(4096, 80)
     assert not attention_mod.supports_flash(2048, 80)  # XLA still faster
     assert not attention_mod.supports_flash(4096, 512)  # head dim too large
+
+
+def test_force_xla_attention_disables_kernel_gates(monkeypatch):
+    """Serving exports trace under force_xla_attention: both Pallas gates
+    must report False even on a TPU backend (custom calls are not portable
+    across a multi-platform jax.export artifact)."""
+    from multimodal_timesfm_tpu.ops import attention as A
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    assert A.supports_pallas(512, 80) and A.supports_flash(4096, 80)
+    with A.force_xla_attention():
+        assert not A.supports_pallas(512, 80)
+        assert not A.supports_flash(4096, 80)
+    assert A.supports_pallas(512, 80) and A.supports_flash(4096, 80)  # restored

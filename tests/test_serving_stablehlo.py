@@ -50,11 +50,14 @@ def test_stablehlo_export_roundtrip_parity(tmp_path):
 
 
 def test_stablehlo_unimodal_and_fresh_params(tmp_path):
-    """Unimodal signature takes context only; swapping the pickled weights
-    (fine-tune without re-lowering) changes served outputs."""
-    import pickle
-
-    from multimodal_timesfm_tpu.serving import export_stablehlo, load_stablehlo
+    """Unimodal signature takes context only; save_stablehlo_params re-points
+    the artifact at new weights (fine-tune without re-lowering) with no
+    pickle anywhere in the artifact."""
+    from multimodal_timesfm_tpu.serving import (
+        export_stablehlo,
+        load_stablehlo,
+        save_stablehlo_params,
+    )
 
     decoder = MultimodalDecoder(
         TimesFM2p5Adapter(TimesFMConfig.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
@@ -64,14 +67,14 @@ def test_stablehlo_unimodal_and_fresh_params(tmp_path):
         decoder, params, horizon=8, context_len=16, output_dir=tmp_path / "hlo_uni",
         platforms=("cpu",),
     )
+    assert not list(out_dir.glob("*.pkl"))  # npz + json only — safe to load untrusted
     serve_fn, manifest = load_stablehlo(out_dir)
     assert not manifest["multimodal"]
     ctx = np.random.default_rng(2).normal(size=(2, 16)).astype(np.float32)
     first = np.asarray(serve_fn(ctx)["point_forecast"])
     assert first.shape == (2, 8)
 
-    with open(out_dir / "params.pkl", "wb") as f:
-        pickle.dump(jax.tree.map(np.asarray, decoder.init(jax.random.key(7))), f)
+    save_stablehlo_params(out_dir, decoder.init(jax.random.key(7)))
     serve_fn2, _ = load_stablehlo(out_dir)
     assert not np.allclose(first, np.asarray(serve_fn2(ctx)["point_forecast"]))
 

@@ -62,14 +62,16 @@ def test_apply_platform_env(monkeypatch):
     monkeypatch.setenv("MTT_PLATFORM", "cpu")
     apply_platform_env()  # idempotent on an already-cpu test session
     assert jax.devices()[0].platform == "cpu"
-    monkeypatch.delenv("MTT_PLATFORM")
-    apply_platform_env()  # no-op without either env var
-
     # JAX_PLATFORMS alone must ALSO pin via jax.config (env-only pinning
     # does not stop sitecustomize-registered plugins from initializing and
-    # hanging when their backend is unreachable); MTT_PLATFORM wins.
+    # hanging when their backend is unreachable); MTT_PLATFORM wins; with
+    # NEITHER set the function must not touch jax.config at all.
+    monkeypatch.delenv("MTT_PLATFORM")
     seen = []
     monkeypatch.setattr(jax.config, "update", lambda k, v: seen.append((k, v)))
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    apply_platform_env()
+    assert seen == []  # the true no-op branch (conftest normally sets JAX_PLATFORMS)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     apply_platform_env()
     monkeypatch.setenv("MTT_PLATFORM", "tpu")
