@@ -51,6 +51,33 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _retry_or_exit(reason: str, sleep_fn=None, exec_fn=None) -> None:
+    """Retry a failed backend init by re-exec'ing bench in a fresh process.
+
+    A failed (or hung) PJRT init poisons the current process — jax caches the
+    backend error, so the only clean retry is a new interpreter. Tunnel
+    outages here are often transient flaps (CLAUDE.md), and the driver runs
+    bench exactly once per round: one re-exec can rescue the round's artifact
+    where exit 2 records nothing. ``MTT_BACKEND_INIT_RETRIES`` (default 1)
+    bounds the attempts; each retry waits ``MTT_BACKEND_RETRY_DELAY`` seconds
+    (default 120) before replacing the process image with the same argv.
+    """
+    import os
+    import time
+
+    retries = int(os.environ.get("MTT_BACKEND_INIT_RETRIES", "1"))
+    if retries <= 0:
+        _log(f"[bench] FATAL: {reason}. Set MTT_PLATFORM=cpu to bench on CPU "
+             "explicitly.")
+        raise SystemExit(2)
+    delay = float(os.environ.get("MTT_BACKEND_RETRY_DELAY", "120"))
+    _log(f"[bench] backend init failed ({reason}); retrying in {delay:.0f}s "
+         f"via re-exec ({retries} attempt(s) left)")
+    (sleep_fn or time.sleep)(delay)
+    env = dict(os.environ, MTT_BACKEND_INIT_RETRIES=str(retries - 1))
+    (exec_fn or os.execve)(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def _check_backend_reachable() -> None:
     """Fail loudly (exit 2) if backend init doesn't finish within the budget.
 
@@ -58,8 +85,10 @@ def _check_backend_reachable() -> None:
     init with no timeout of its own — a driver-run bench would then hang
     forever and record nothing. Probing in a daemon thread bounds the wait
     (``MTT_BACKEND_INIT_TIMEOUT`` seconds, default 900 — first contact on a
-    cold tunnel can legitimately take minutes). No CPU fallback on purpose:
-    a silently-CPU "TPU benchmark" number would poison the artifact.
+    cold tunnel can legitimately take minutes). Transient failures re-exec
+    the process for a bounded number of retries (:func:`_retry_or_exit`).
+    No CPU fallback on purpose: a silently-CPU "TPU benchmark" number would
+    poison the artifact.
     """
     import os
     import threading
@@ -79,11 +108,11 @@ def _check_backend_reachable() -> None:
     t.start()
     t.join(timeout)
     if t.is_alive():
-        _log(f"[bench] FATAL: jax backend init still blocked after {timeout:.0f}s "
-             "(TPU tunnel down?). Set MTT_PLATFORM=cpu to bench on CPU explicitly.")
-        raise SystemExit(2)
+        _retry_or_exit(f"jax backend init still blocked after {timeout:.0f}s "
+                       "(TPU tunnel down?)")
+        raise SystemExit(2)  # unreachable unless exec was stubbed (tests)
     if "error" in result:
-        _log(f"[bench] FATAL: jax backend init failed: {result['error']}")
+        _retry_or_exit(f"jax backend init failed: {result['error']}")
         raise SystemExit(2)
     _log(f"[bench] backend ready: {result['devices']}")
 

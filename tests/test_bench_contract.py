@@ -49,6 +49,30 @@ def test_workload_table_includes_attention_regimes():
     assert any(bench.WORKLOADS[n][0] == "chronos" for n in bench.WORKLOADS)
 
 
+def test_backend_retry_reexecs_with_decremented_budget(monkeypatch):
+    # Transient tunnel failure: re-exec the same argv with one fewer retry.
+    monkeypatch.setenv("MTT_BACKEND_INIT_RETRIES", "2")
+    monkeypatch.setenv("MTT_BACKEND_RETRY_DELAY", "0")
+    calls = {}
+    bench._retry_or_exit(
+        "simulated outage",
+        sleep_fn=lambda s: calls.setdefault("slept", s),
+        exec_fn=lambda exe, argv, env: calls.update(exe=exe, argv=argv, env=env),
+    )
+    assert calls["exe"] == sys.executable
+    assert calls["argv"][0] == sys.executable
+    assert calls["env"]["MTT_BACKEND_INIT_RETRIES"] == "1"
+
+    # Exhausted budget: exit 2, no exec.
+    monkeypatch.setenv("MTT_BACKEND_INIT_RETRIES", "0")
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        bench._retry_or_exit("simulated outage", exec_fn=lambda *a: calls.update(bad=True))
+    assert exc.value.code == 2
+    assert "bad" not in calls
+
+
 def test_bench_headline_json_contract():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
