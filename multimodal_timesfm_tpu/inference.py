@@ -273,12 +273,22 @@ class Forecaster:
         multimodal: bool | None = None,
         denormalize: bool = False,
         full: bool = False,
+        autoregressive: bool = False,
+        text_mode: str = "first_window",
     ) -> np.ndarray:
         """Forecast every sample of a (preprocessed) dataset.
 
         With ``denormalize``, predictions are mapped back to the original
         scale via each sample's recorded z-score ``mean``/``std`` metadata.
+        ``autoregressive`` routes through :meth:`forecast_autoregressive`
+        (point forecasts only; horizons beyond the backbone's single-shot
+        cap), with ``text_mode`` forwarded for the multi-window fusion
+        contract documented there.
         """
+        if autoregressive and full:
+            raise ValueError(
+                "autoregressive decode produces point forecasts only; drop full=True"
+            )
         if not isinstance(dataset, StackedDataset):
             if multimodal is None:
                 multimodal = len(dataset) > 0 and "text_embeddings" in dataset[0]
@@ -288,12 +298,13 @@ class Forecaster:
             if multimodal is None:
                 multimodal = data.text_embeddings is not None
 
-        preds = self.forecast(
-            horizon,
-            data.context,
-            text_embeddings=data.text_embeddings if multimodal else None,
-            full=full,
-        )
+        text = data.text_embeddings if multimodal else None
+        if autoregressive:
+            preds = self.forecast_autoregressive(
+                horizon, data.context, text_embeddings=text, text_mode=text_mode
+            )
+        else:
+            preds = self.forecast(horizon, data.context, text_embeddings=text, full=full)
         if denormalize:
             mean = np.array([m.get("mean", 0.0) for m in data.metadata], np.float32)
             std = np.array([m.get("std", 1.0) for m in data.metadata], np.float32)

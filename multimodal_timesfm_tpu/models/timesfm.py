@@ -225,7 +225,9 @@ class TimesFM2p5Adapter(TsfmAdapter):
         if horizon > cfg.output_patch_len:
             raise ValueError(
                 f"horizon must be <= output_patch_len ({cfg.output_patch_len}), got {horizon}. "
-                "AR decode is not supported."
+                "The single-shot forward matches the reference's no-AR guard; for longer "
+                "horizons use inference.Forecaster.forecast_autoregressive (or "
+                "scripts/forecast.py --autoregressive)."
             )
         batch = output_embeddings.shape[0]
         # Only the LAST patch's forecast is ever returned (reference

@@ -45,6 +45,19 @@ def main() -> int:
     parser.add_argument("--checkpoint", type=str, help="Trained .ckpt (fusion or adapter).")
     parser.add_argument("--multimodal", action="store_true", help="Feed text embeddings.")
     parser.add_argument("--full", action="store_true", help="All quantile channels.")
+    parser.add_argument(
+        "--autoregressive",
+        action="store_true",
+        help="Decode horizons beyond the backbone's single-shot cap by sliding "
+        "the context window (one fused device dispatch; point forecasts only).",
+    )
+    parser.add_argument(
+        "--text-mode",
+        choices=("first_window", "error"),
+        default="first_window",
+        help="Multi-window AR with text: fuse the first window only (default, "
+        "warns once) or refuse ('error').",
+    )
     parser.add_argument("--denormalize", action="store_true")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--output", type=str, default="forecasts.npz")
@@ -75,6 +88,8 @@ def main() -> int:
         multimodal=args.multimodal,
         denormalize=args.denormalize,
         full=args.full,
+        autoregressive=args.autoregressive,
+        text_mode=args.text_mode,
     )
 
     metadata = [s["metadata"] for s in samples]

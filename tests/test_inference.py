@@ -79,6 +79,35 @@ def test_autoregressive_long_horizon():
     np.testing.assert_allclose(short, single[:, :5], atol=1e-5)
 
 
+def test_forecast_dataset_autoregressive_routes_and_denormalizes():
+    decoder, params = _build()  # tiny: output_patch_len 8
+    rng = np.random.default_rng(7)
+    samples = [
+        PreprocessedSample(
+            context=rng.normal(size=16).astype(np.float32),
+            horizon=rng.normal(size=20).astype(np.float32),
+            text_embeddings=rng.normal(size=(4, 6)).astype(np.float32),
+            metadata={"mean": 3.0, "std": 0.5},
+        )
+        for _ in range(3)
+    ]
+    f = Forecaster(decoder, params, batch_size=4)
+    ctx = np.stack([s["context"] for s in samples])
+    text = np.stack([s["text_embeddings"] for s in samples])
+
+    preds = f.forecast_dataset(20, samples, autoregressive=True)  # > single-shot cap
+    np.testing.assert_allclose(
+        preds, f.forecast_autoregressive(20, ctx, text_embeddings=text), atol=1e-6
+    )
+    denorm = f.forecast_dataset(20, samples, autoregressive=True, denormalize=True)
+    np.testing.assert_allclose(denorm, preds * 0.5 + 3.0, atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="point forecasts only"):
+        f.forecast_dataset(20, samples, autoregressive=True, full=True)
+
+
 def test_autoregressive_first_window_uses_text():
     """Multimodal first window differs from baseline; continuation unaffected."""
     decoder, params = _build()
