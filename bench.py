@@ -556,15 +556,24 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
     base, extra = divmod(trials, 3)
     frag_sizes = {L: base + (1 if L <= extra else 0) for L in (1, 2, 3)}
     frag_sizes = {L: t for L, t in frag_sizes.items() if t > 0}
-    compile_s = {}
+    first_call_s = {}
     for layers, t in frag_sizes.items():
         t0 = _time.perf_counter()
-        run(t, layers)  # compile (fresh program per group size/structure)
-        compile_s[layers] = round(_time.perf_counter() - t0, 2)
-    t0 = _time.perf_counter()
+        run(t, layers)  # compile + ONE execution (fresh program per structure)
+        first_call_s[layers] = _time.perf_counter() - t0
+    steady_s = {}
+    t0_all = _time.perf_counter()
     for layers, t in frag_sizes.items():
+        t0 = _time.perf_counter()
         run(t, layers)
-    frag_per_trial = (_time.perf_counter() - t0) / sum(frag_sizes.values())
+        steady_s[layers] = _time.perf_counter() - t0
+    frag_per_trial = (_time.perf_counter() - t0_all) / sum(frag_sizes.values())
+    # The first call pays compile + one full training execution; subtract the
+    # steady-state run so the reported per-group figure is compile cost alone
+    # (the raw first-call number over-reported it by a whole execution).
+    compile_s = {
+        L: round(max(first_call_s[L] - steady_s[L], 0.0), 2) for L in frag_sizes
+    }
     _log(
         f"[sweep-bench] fragmented {dict(frag_sizes)}: {frag_per_trial:.3f}s/trial "
         f"(group compile seconds: {compile_s})"

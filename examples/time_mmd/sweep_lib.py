@@ -350,21 +350,38 @@ def train_and_evaluate_many(
         params = init_decoder_params(decoder, pretrained_dir, training_args.seed or 0)
         frozen = {k: v for k, v in params.items() if k != trainable_key}
 
+        # Shard the trial axis over the mesh when the group divides evenly;
+        # otherwise run the group single-device (trials stay correct either way).
+        group_mesh = mesh
+        if mesh is not None and len(group) % mesh.shape["data"] != 0:
+            _logger.info(
+                "Group of %d trials not divisible by mesh data axis (%d); running unsharded",
+                len(group),
+                mesh.shape["data"],
+            )
+            group_mesh = None
+
         # HBM budget: T trials x 5 fp32 copies of the trained tree (see
-        # vectorized_max_trials). Only ever binding in baseline mode.
+        # vectorized_max_trials). Only ever binding in baseline mode. The
+        # budget is PER DEVICE: with the trial axis sharded over the mesh's
+        # data axis each chip holds len(group)/dp trials, so an 8-chip mesh
+        # fits 8x the single-device group size.
         trainable_bytes = sum(
             int(np.prod(x.shape)) * 4 for x in jax.tree.leaves(params[trainable_key])
         )
         hbm = device_hbm_bytes()
         max_t = vectorized_max_trials(trainable_bytes, hbm)
-        if len(group) > max_t:
+        dp = int(group_mesh.shape["data"]) if group_mesh is not None else 1
+        per_device_trials = len(group) // dp
+        if per_device_trials > max_t:
             raise ValueError(
                 f"Vectorized {mode} group of {len(group)} trials exceeds the device "
                 f"budget: each trial carries 5 fp32 copies of the {trainable_bytes / 1e6:.0f}MB "
                 f"trained tree (params + AdamW mu/nu + best + grads) = "
                 f"{5 * trainable_bytes / 1e9:.2f}GB/trial, and 75% of the "
-                f"{hbm / 1e9:.1f}GB device memory fits {max_t} trial(s). "
-                f"Split the sweep into groups of <= {max_t} (--count) or run sequentially."
+                f"{hbm / 1e9:.1f}GB device memory fits {max_t} trial(s) per device "
+                f"({per_device_trials} would land on each of {dp} device(s)). "
+                f"Split the sweep into groups of <= {max_t * dp} (--count) or run sequentially."
             )
 
         # Sequential-driver parity: every trial starts from the same init and
@@ -392,16 +409,6 @@ def train_and_evaluate_many(
                 np.float32,
             ),
         }
-        # Shard the trial axis over the mesh when the group divides evenly;
-        # otherwise run the group single-device (trials stay correct either way).
-        group_mesh = mesh
-        if mesh is not None and len(group) % mesh.shape["data"] != 0:
-            _logger.info(
-                "Group of %d trials not divisible by mesh data axis (%d); running unsharded",
-                len(group),
-                mesh.shape["data"],
-            )
-            group_mesh = None
         _logger.info(
             "Vectorized group %s: %d trial(s) in one dispatch", key, len(group)
         )

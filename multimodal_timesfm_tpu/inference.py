@@ -20,6 +20,7 @@ import numpy as np
 from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
 from multimodal_timesfm_tpu.models.base import Params
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
+from multimodal_timesfm_tpu.utils.cache import lru_get
 
 
 class Forecaster:
@@ -79,20 +80,14 @@ class Forecaster:
 
     def _get_fn(self, horizon: int, full: bool, with_text: bool):
         cache = self._full_fn if full else self._point_fn
-        key = (horizon, with_text)
-        if key in cache:
-            cache.move_to_end(key)
-        else:
-            method = self.model.forward_full if full else self.model
 
+        def build():
+            method = self.model.forward_full if full else self.model
             if with_text:
-                fn = jax.jit(lambda p, x, m, t: method(p, horizon, x, m, t))
-            else:
-                fn = jax.jit(lambda p, x, m: method(p, horizon, x, m, None))
-            cache[key] = fn
-            while len(cache) > self._fn_cache_max:
-                cache.popitem(last=False)
-        return cache[key]
+                return jax.jit(lambda p, x, m, t: method(p, horizon, x, m, t))
+            return jax.jit(lambda p, x, m: method(p, horizon, x, m, None))
+
+        return lru_get(cache, (horizon, with_text), build, self._fn_cache_max)
 
     def forecast(
         self,
@@ -234,11 +229,14 @@ class Forecaster:
     def _get_ar_fn(self, chunk: int, rounds: int, with_text: bool):
         """Jitted whole-decode program: round 0 (with optional text fusion)
         then a ``lax.scan`` over the remaining context-sliding rounds."""
-        key = (chunk, rounds, with_text)
-        if key in self._ar_fn_cache:
-            self._ar_fn_cache.move_to_end(key)
-            return self._ar_fn_cache[key]
+        return lru_get(
+            self._ar_fn_cache,
+            (chunk, rounds, with_text),
+            lambda: self._build_ar_fn(chunk, rounds),
+            self._fn_cache_max,
+        )
 
+    def _build_ar_fn(self, chunk: int, rounds: int):
         def slide(ctx, msk, preds):
             preds = preds.astype(ctx.dtype)
             ctx = jnp.concatenate([ctx[:, chunk:], preds], axis=1)
@@ -260,11 +258,7 @@ class Forecaster:
             rest = jnp.moveaxis(rest, 0, 1).reshape(ctx.shape[0], -1)  # (B, (R-1)*chunk)
             return jnp.concatenate([preds0.astype(rest.dtype), rest], axis=1)
 
-        fn = jax.jit(decode)
-        self._ar_fn_cache[key] = fn
-        while len(self._ar_fn_cache) > self._fn_cache_max:
-            self._ar_fn_cache.popitem(last=False)
-        return fn
+        return jax.jit(decode)
 
     def forecast_dataset(
         self,

@@ -181,16 +181,38 @@ def _unflatten_params(npz, leaf_spec: dict, list_lens: dict):
 def save_stablehlo_params(artifact_dir: str | Path, params: Params) -> None:
     """Re-point an exported artifact at new weights (e.g. after a fine-tune).
 
-    Rewrites ``params.npz`` + the manifest's leaf spec without touching the
-    lowered module — shapes/dtypes must match what was exported.
+    Rewrites ``params.npz`` without touching the lowered module. The new
+    tree is validated against the manifest's recorded leaf spec BEFORE
+    anything is written: the module was lowered for exactly those
+    shapes/dtypes, so a mismatched re-point (bf16-cast weights, different
+    fusion depth) would corrupt the artifact in place and only surface as an
+    opaque aval mismatch on the serving host.
     """
     artifact_dir = Path(artifact_dir)
     leaves, leaf_spec, list_lens = _flatten_params(params)
     manifest = json.loads((artifact_dir / _MANIFEST_FILE).read_text())
-    manifest["leaf_spec"] = leaf_spec
-    manifest["list_lens"] = list_lens
+    old_spec, old_lens = manifest["leaf_spec"], manifest["list_lens"]
+    if leaf_spec != old_spec or list_lens != old_lens:
+        missing = sorted(set(old_spec) - set(leaf_spec))
+        extra = sorted(set(leaf_spec) - set(old_spec))
+        changed = sorted(
+            k for k in set(leaf_spec) & set(old_spec) if leaf_spec[k] != old_spec[k]
+        )
+        detail = "; ".join(
+            f"{label}: {names[:5]}{'...' if len(names) > 5 else ''}"
+            for label, names in (
+                ("missing leaves", missing),
+                ("unexpected leaves", extra),
+                ("shape/dtype mismatches", changed),
+            )
+            if names
+        ) or "list-structure mismatch"
+        raise ValueError(
+            f"params do not match the exported module's spec ({detail}). The "
+            "StableHLO module was lowered for the exported shapes/dtypes — "
+            "re-export with export_stablehlo instead of re-pointing."
+        )
     np.savez(artifact_dir / _PARAMS_FILE, **leaves)
-    (artifact_dir / _MANIFEST_FILE).write_text(json.dumps(manifest, indent=2))
 
 
 def export_stablehlo(

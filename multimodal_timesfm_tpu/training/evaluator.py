@@ -34,54 +34,59 @@ from multimodal_timesfm_tpu.types import EvaluationMetrics
 # this codebase) — mutating one and re-evaluating would serve a stale trace.
 from collections import OrderedDict
 
+from multimodal_timesfm_tpu.utils.cache import lru_get
+
 _EVAL_CACHE: OrderedDict[tuple, object] = OrderedDict()
 _EVAL_CACHE_MAX = 8
 
 
 def _eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool = False):
     key = (id(model), horizon_len, quantile_metrics)
-    if key in _EVAL_CACHE:
-        _EVAL_CACHE.move_to_end(key)
-    else:
-        if quantile_metrics:
-            levels, mean_channel = model.adapter.quantile_loss_spec
-            levels_arr = jnp.asarray(levels, jnp.float32)
+    return lru_get(
+        _EVAL_CACHE,
+        key,
+        lambda: _build_eval_fn(model, horizon_len, quantile_metrics),
+        _EVAL_CACHE_MAX,
+    )
 
-        @jax.jit
-        def run(params, batches):
-            def one(_, mb):
-                masks = jnp.zeros_like(mb["context"], dtype=bool)
-                w = mb["weights"][:, None]
-                if quantile_metrics:
-                    full = model.forward_full(
-                        params, horizon_len, mb["context"], masks, mb.get("text")
-                    ).astype(jnp.float32)
-                    point = full[..., model.adapter.point_forecast_index]
-                    q_channels = [
-                        c for c in range(full.shape[-1]) if c != mean_channel
-                    ]
-                    errs = mb["horizon"][..., None] - full[..., q_channels]  # (B,H,Q)
-                    pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
-                    pb = jnp.sum(pinball * w[..., None]) / (horizon_len * len(levels))
-                    abs_y = jnp.sum(jnp.abs(mb["horizon"]) * w) / horizon_len
-                else:
-                    point = model(
-                        params, horizon_len, mb["context"], masks, mb.get("text")
-                    )
-                    pb = jnp.float32(0.0)
-                    abs_y = jnp.float32(0.0)
-                err = point.astype(jnp.float32) - mb["horizon"]
-                se = jnp.sum(err * err * w) / horizon_len
-                ae = jnp.sum(jnp.abs(err) * w) / horizon_len
-                return None, (se, ae, pb, abs_y)
 
-            _, (se, ae, pb, abs_y) = jax.lax.scan(one, None, batches)
-            return jnp.sum(se), jnp.sum(ae), jnp.sum(pb), jnp.sum(abs_y)
+def _build_eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool):
+    if quantile_metrics:
+        levels, mean_channel = model.adapter.quantile_loss_spec
+        levels_arr = jnp.asarray(levels, jnp.float32)
 
-        _EVAL_CACHE[key] = run
-        while len(_EVAL_CACHE) > _EVAL_CACHE_MAX:
-            _EVAL_CACHE.popitem(last=False)
-    return _EVAL_CACHE[key]
+    @jax.jit
+    def run(params, batches):
+        def one(_, mb):
+            masks = jnp.zeros_like(mb["context"], dtype=bool)
+            w = mb["weights"][:, None]
+            if quantile_metrics:
+                full = model.forward_full(
+                    params, horizon_len, mb["context"], masks, mb.get("text")
+                ).astype(jnp.float32)
+                point = full[..., model.adapter.point_forecast_index]
+                q_channels = [
+                    c for c in range(full.shape[-1]) if c != mean_channel
+                ]
+                errs = mb["horizon"][..., None] - full[..., q_channels]  # (B,H,Q)
+                pinball = jnp.maximum((levels_arr - 1.0) * errs, levels_arr * errs)
+                pb = jnp.sum(pinball * w[..., None]) / (horizon_len * len(levels))
+                abs_y = jnp.sum(jnp.abs(mb["horizon"]) * w) / horizon_len
+            else:
+                point = model(
+                    params, horizon_len, mb["context"], masks, mb.get("text")
+                )
+                pb = jnp.float32(0.0)
+                abs_y = jnp.float32(0.0)
+            err = point.astype(jnp.float32) - mb["horizon"]
+            se = jnp.sum(err * err * w) / horizon_len
+            ae = jnp.sum(jnp.abs(err) * w) / horizon_len
+            return None, (se, ae, pb, abs_y)
+
+        _, (se, ae, pb, abs_y) = jax.lax.scan(one, None, batches)
+        return jnp.sum(se), jnp.sum(ae), jnp.sum(pb), jnp.sum(abs_y)
+
+    return run
 
 
 class MultimodalEvaluator:

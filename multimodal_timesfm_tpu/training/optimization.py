@@ -132,6 +132,48 @@ def scale_by_adam_lowmem(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def clip_by_global_norm_fp32(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clipping with the norm accumulated in fp32.
+
+    ``optax.clip_by_global_norm`` computes the norm in the gradients' own
+    dtype. Under mixed precision (``trainable_cast_dtype=bf16`` with
+    ``gradient_accumulation_steps=1``) the gradients reach the optimizer as
+    bf16, making the measured norm depend on how the backend lowers the
+    reduce: XLA's tree reductions keep bf16 sums accurate (~1e-3 relative
+    at 1e6 terms, measured), but that is a lowering detail, not a
+    contract — a sequential bf16 accumulator saturates once the partial sum
+    exceeds ~256x an addend. Accumulating leaf sums of squares in fp32
+    removes the dependence at zero cost (XLA fuses the cast into the
+    reduce). For fp32 gradients this matches ``optax.clip_by_global_norm``
+    bit-for-bit (same trigger/select form).
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(x.astype(jnp.float32)))
+                for x in jax.tree.leaves(updates)
+            )
+        )
+        trigger = g_norm < max_norm
+        updates = jax.tree.map(
+            lambda t: jax.lax.select(
+                trigger,
+                t,
+                ((t.astype(jnp.float32) / g_norm) * max_norm).astype(t.dtype),
+            ),
+            updates,
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     schedule: Callable,
     weight_decay: float,
@@ -148,7 +190,10 @@ def make_optimizer(
     """
     transforms = []
     if max_grad_norm > 0:
-        transforms.append(optax.clip_by_global_norm(max_grad_norm))
+        # fp32-accumulated norm: identical to optax.clip_by_global_norm for
+        # fp32 grads, correct (not saturating) for bf16 grads under
+        # trainable_cast_dtype.
+        transforms.append(clip_by_global_norm_fp32(max_grad_norm))
     if moment_dtype is None:
         transforms.append(
             optax.adamw(

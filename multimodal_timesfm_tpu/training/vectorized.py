@@ -82,12 +82,16 @@ def adamw_update(
     """One AdamW step == ``optax.chain(clip_by_global_norm, adamw)`` with
     torch-default betas/eps, but lr and weight_decay are traced values."""
     if max_grad_norm > 0:
+        # Norm accumulated in fp32 (no-op for fp32 grads, correct for bf16 —
+        # see optimization.clip_by_global_norm_fp32).
         g_norm = jnp.sqrt(
-            sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+            sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
         )
         trigger = g_norm < max_grad_norm
         grads = jax.tree.map(
-            lambda g: jax.lax.select(trigger, g, (g / g_norm.astype(g.dtype)) * max_grad_norm),
+            lambda g: jax.lax.select(
+                trigger, g, ((g.astype(jnp.float32) / g_norm) * max_grad_norm).astype(g.dtype)
+            ),
             grads,
         )
     count = state["count"] + 1
@@ -117,6 +121,8 @@ def adamw_update(
 # as immutable after construction.
 from collections import OrderedDict
 
+from multimodal_timesfm_tpu.utils.cache import lru_get
+
 _FUSED_CACHE: OrderedDict[tuple, Any] = OrderedDict()
 _FUSED_CACHE_MAX = 8
 
@@ -129,10 +135,21 @@ def _fused_trials_fn(
         id(model), trainable_key, horizon_len, accum, scheduler, total_steps,
         max_grad_norm, loss_type,
     )
-    if key in _FUSED_CACHE:
-        _FUSED_CACHE.move_to_end(key)
-        return _FUSED_CACHE[key]
+    return lru_get(
+        _FUSED_CACHE,
+        key,
+        lambda: _build_fused_trials_fn(
+            model, trainable_key, horizon_len, accum, scheduler, total_steps,
+            max_grad_norm, loss_type,
+        ),
+        _FUSED_CACHE_MAX,
+    )
 
+
+def _build_fused_trials_fn(
+    model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm,
+    loss_type,
+):
     # NOTE: ``frozen`` and the datasets are threaded as explicit jit
     # arguments, never closed over — closure arrays are embedded into the
     # serialized program as constants, which blows up compile payloads by the
@@ -224,9 +241,6 @@ def _fused_trials_fn(
         donate_argnums=(0,),
         static_argnums=(9,),
     )
-    _FUSED_CACHE[key] = fused
-    while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
-        _FUSED_CACHE.popitem(last=False)
     return fused
 
 
@@ -405,10 +419,15 @@ _EVAL_CACHE: OrderedDict[tuple, Any] = OrderedDict()
 
 def _eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
     key = (id(model), trainable_key, horizon_len, has_text, nb)
-    if key in _EVAL_CACHE:
-        _EVAL_CACHE.move_to_end(key)
-        return _EVAL_CACHE[key]
+    return lru_get(
+        _EVAL_CACHE,
+        key,
+        lambda: _build_eval_trials_fn(model, trainable_key, horizon_len, has_text, nb),
+        _FUSED_CACHE_MAX,
+    )
 
+
+def _build_eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
     # frozen/data as explicit args (not closures) — see run_vectorized_trials.
     def one_trial(trainable, frozen, jdata, perm, w):
         params = dict(frozen)
@@ -429,11 +448,7 @@ def _eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
         total = jnp.maximum(jnp.sum(cnt[:nb]), 1.0)
         return jnp.sum(se[:nb]) / total, jnp.sum(ae[:nb]) / total
 
-    fn = jax.jit(jax.vmap(one_trial, in_axes=(0, None, None, None, None)))
-    _EVAL_CACHE[key] = fn
-    while len(_EVAL_CACHE) > _FUSED_CACHE_MAX:
-        _EVAL_CACHE.popitem(last=False)
-    return fn
+    return jax.jit(jax.vmap(one_trial, in_axes=(0, None, None, None, None)))
 
 
 def evaluate_vectorized(

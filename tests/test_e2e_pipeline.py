@@ -312,6 +312,70 @@ def test_vectorized_baseline_rejects_over_budget_group(
     assert any("exceeds the device budget" in r.get("error", "") for r in rows)
 
 
+def test_vectorized_baseline_budget_is_per_device(
+    data_root, configs, split_and_cache, tmp_path, monkeypatch
+):
+    """The 5x-tree HBM budget divides over the mesh data axis: a group whose
+    trials overflow ONE device still runs when the trial axis shards over the
+    8-device mesh (1 trial/chip). Review finding r3: the guard previously
+    compared the whole group against a single device's budget."""
+    import jax
+
+    from examples.time_mmd.configs.model import ModelConfig
+    from examples.time_mmd.sweep_lib import build_adapter, init_decoder_params
+    from multimodal_timesfm_tpu.models.decoder import (
+        MultimodalDecoder,
+        MultimodalDecoderConfig,
+    )
+    from multimodal_timesfm_tpu.training import vectorized as vec_mod
+
+    import scripts.tune_time_mmd_sweep as sweep_mod
+
+    # HBM budget that fits exactly ONE tiny-baseline trial per device
+    # (same trainable_bytes arithmetic as the guard).
+    model_config = ModelConfig.from_yaml(configs / "model.yml")
+    decoder = MultimodalDecoder(
+        build_adapter(model_config, None),
+        MultimodalDecoderConfig(
+            text_embedding_dims=model_config.fusion.text_embedding_dims
+        ),
+    )
+    params = init_decoder_params(decoder, None, 0)
+    trainable_bytes = sum(
+        int(np.prod(x.shape)) * 4 for x in jax.tree.leaves(params["adapter"])
+    )
+    one_per_device = int(5 * trainable_bytes / 0.75) + 4096
+    assert vec_mod.vectorized_max_trials(trainable_bytes, one_per_device) == 1
+    monkeypatch.setattr(vec_mod, "device_hbm_bytes", lambda default=0: one_per_device)
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest pins an 8-device virtual mesh"
+    out_dir = tmp_path / "per_device"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "tune",
+            "--sweep-config", str(configs / "sweep.yml"),
+            "--count", str(n_dev),
+            "--model-config", str(configs / "model.yml"),
+            "--forecast-config", str(configs / "forecast.yml"),
+            "--cache-dir", str(split_and_cache),
+            "--offline", "--vectorized",
+            "--output-dir", str(out_dir),
+            "--seed", "0",
+        ],
+    )
+    assert sweep_mod.main(mode="baseline") == 0
+    rows = [
+        json.loads(line)
+        for line in (out_dir / "sweep_results.jsonl").read_text().strip().splitlines()
+    ]
+    finished = [r for r in rows if "val/best_loss" in r]
+    assert len(finished) == n_dev
+    assert all(np.isfinite(r["val/best_loss"]) for r in finished)
+
+
 def test_cache_declared_dim_ignores_mismatched_fusion_config():
     """A japanese caching run with a default (english/384) model config must
     fall back to the encoder's own dim, not crash on 384 vs 768 (review

@@ -78,6 +78,24 @@ def test_stablehlo_unimodal_and_fresh_params(tmp_path):
     serve_fn2, _ = load_stablehlo(out_dir)
     assert not np.allclose(first, np.asarray(serve_fn2(ctx)["point_forecast"]))
 
+    # Mismatched re-point (different fusion depth -> different leaves) must
+    # refuse BEFORE writing — the module was lowered for the exported spec.
+    import pytest
+
+    other = MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig.tiny()),
+        MultimodalDecoderConfig(text_embedding_dims=6, num_fusion_layers=2,
+                                fusion_hidden_dims=[4]),
+    )
+    with pytest.raises(ValueError, match="do not match the exported"):
+        save_stablehlo_params(out_dir, other.init(jax.random.key(8)))
+    # artifact untouched: still serves the key-7 weights
+    serve_fn3, _ = load_stablehlo(out_dir)
+    np.testing.assert_array_equal(
+        np.asarray(serve_fn2(ctx)["point_forecast"]),
+        np.asarray(serve_fn3(ctx)["point_forecast"]),
+    )
+
 
 def test_stablehlo_chronos_quantile_serving(tmp_path):
     """Chronos backbone exports under a symbolic batch dim (group-ids and
