@@ -289,8 +289,9 @@ def train_and_evaluate_many(
     from multimodal_timesfm_tpu.training.vectorized import (
         device_hbm_bytes,
         evaluate_vectorized,
+        replicate_trainables,
         run_vectorized_trials,
-        stack_trainables,
+        trial_sharding,
         vectorized_max_trials,
     )
 
@@ -386,7 +387,13 @@ def train_and_evaluate_many(
 
         # Sequential-driver parity: every trial starts from the same init and
         # batch order (the per-trial variation is purely the hyperparams).
-        inits = stack_trainables([params[trainable_key]] * len(group))
+        # Staged directly onto the mesh shards when sharded — a group sized by
+        # the per-device budget times dp must never be stacked on one device.
+        inits = replicate_trainables(
+            params[trainable_key],
+            len(group),
+            trial_sharding(group_mesh) if group_mesh is not None else None,
+        )
 
         num_batches = -(-len(train_dataset) // batch_size)
         total_steps = num_epochs * -(-num_batches // accum)
@@ -440,6 +447,7 @@ def train_and_evaluate_many(
             horizon_len=forecast_config.horizon_len,
             batch_size=training_args.per_device_eval_batch_size,
             trainable_key=trainable_key,
+            mesh=group_mesh,
         )
         steps_per_epoch = -(-num_batches // accum)
         for t, run in enumerate(group):

@@ -128,19 +128,47 @@ def _flatten_params(params: Params) -> tuple[dict, dict, dict]:
     the arrays themselves because ``np.savez`` silently degrades non-native
     dtypes (bf16 -> void). No pickle anywhere: a serving host can load an
     artifact from an untrusted source without executing code.
+
+    Containers that would NOT survive the round-trip are refused loudly
+    (review finding): the exported module is traced with the ORIGINAL pytree,
+    so a tuple (reconstructed as a list), a non-string dict key
+    (reconstructed as a string), or an empty container (dropped entirely)
+    would export cleanly and then fail every ``serve_fn`` call with an opaque
+    input-pytree mismatch.
     """
     leaves: dict[str, np.ndarray] = {}
     leaf_spec: dict[str, dict] = {}
     list_lens: dict[str, int] = {}
 
     def walk(prefix: tuple[str, ...], node) -> None:
+        path = "/".join(prefix) or "<root>"
         if isinstance(node, dict):
+            if not node:
+                raise ValueError(
+                    f"param subtree {path!r} is an empty dict: it cannot survive "
+                    "the npz round-trip (dropped on load) — prune it before exporting"
+                )
             for k, v in node.items():
-                key = str(k)
-                if "/" in key:
-                    raise ValueError(f"param key {key!r} contains '/'")
-                walk(prefix + (key,), v)
+                if not isinstance(k, str):
+                    raise ValueError(
+                        f"param key {k!r} under {path!r} is not a string: it would "
+                        "round-trip as a string key — convert before exporting"
+                    )
+                if "/" in k:
+                    raise ValueError(f"param key {k!r} contains '/'")
+                walk(prefix + (k,), v)
         elif isinstance(node, (list, tuple)):
+            if isinstance(node, tuple):
+                raise ValueError(
+                    f"param subtree {path!r} is a tuple: it would round-trip as a "
+                    "list (different pytree structure than the exported module was "
+                    "traced with) — convert to a list before exporting"
+                )
+            if not node:
+                raise ValueError(
+                    f"param subtree {path!r} is an empty list: it cannot survive "
+                    "the npz round-trip (dropped on load) — prune it before exporting"
+                )
             list_lens["/".join(prefix)] = len(node)
             for i, v in enumerate(node):
                 walk(prefix + (str(i),), v)
@@ -152,6 +180,23 @@ def _flatten_params(params: Params) -> tuple[dict, dict, dict]:
 
     walk((), params)
     return leaves, leaf_spec, list_lens
+
+
+def _write_npz_atomic(path: Path, leaves: dict) -> None:
+    """Write ``leaves`` to ``path`` via a same-directory temp file + rename.
+
+    ``np.savez`` straight onto the target would leave a truncated archive —
+    and destroy the previous valid weights — if the process dies or the disk
+    fills mid-write. The temp file is opened explicitly because ``np.savez``
+    appends ``.npz`` to string paths that lack the suffix.
+    """
+    tmp = path.with_name(path.name + ".tmp")
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **leaves)
+        tmp.replace(path)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _unflatten_params(npz, leaf_spec: dict, list_lens: dict):
@@ -212,7 +257,7 @@ def save_stablehlo_params(artifact_dir: str | Path, params: Params) -> None:
             "StableHLO module was lowered for the exported shapes/dtypes — "
             "re-export with export_stablehlo instead of re-pointing."
         )
-    np.savez(artifact_dir / _PARAMS_FILE, **leaves)
+    _write_npz_atomic(artifact_dir / _PARAMS_FILE, leaves)
 
 
 def export_stablehlo(
@@ -283,6 +328,11 @@ def export_stablehlo(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), np.dtype(getattr(x, "dtype", None) or np.result_type(x))),
         params,
     )
+    # Flatten (and refuse lossy containers) BEFORE the expensive trace — a
+    # tree that can't round-trip must not cost a lowering or leave a partial
+    # artifact directory behind.
+    leaves, leaf_spec, list_lens = _flatten_params(params)
+
     (b,) = jax_export.symbolic_shape("b")
     specs = [param_specs, jax.ShapeDtypeStruct((b, context_len), jnp.float32)]
     if multimodal:
@@ -293,8 +343,7 @@ def export_stablehlo(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     (output_dir / _STABLEHLO_FILE).write_bytes(exported.serialize())
-    leaves, leaf_spec, list_lens = _flatten_params(params)
-    np.savez(output_dir / _PARAMS_FILE, **leaves)
+    _write_npz_atomic(output_dir / _PARAMS_FILE, leaves)
     (output_dir / _MANIFEST_FILE).write_text(json.dumps({
         "format": "jax.export.stablehlo",
         "horizon": horizon,

@@ -252,7 +252,7 @@ class TrialResults:
     val_losses: np.ndarray  # (T, E)
     best_val: np.ndarray  # (T,)
     best_epoch: np.ndarray  # (T,) int
-    best_trainable: Pytree  # leaves (T, ...)
+    best_trainable: Pytree  # leaves (T, ...) on device; sharded when mesh given
 
 
 def run_vectorized_trials(
@@ -328,16 +328,13 @@ def run_vectorized_trials(
 
     total_steps = num_epochs * math.ceil(num_batches / accum)
 
-    carry0 = {
-        "state": (trainable_inits, jax.vmap(adamw_init)(trainable_inits)),
-        "best_val": jnp.full((t_trials,), jnp.finfo(jnp.float32).max, jnp.float32),
-        "best": jax.tree.map(lambda x: x.copy(), trainable_inits),
-    }
     data = {k: jnp.asarray(v) for k, v in train_data.items()}
     vdata = {k: jnp.asarray(v) for k, v in val_data.items()}
     hp = {k: jnp.asarray(v, jnp.float32) for k, v in hyperparams.items()}
-
     frozen_dev = jax.tree.map(jnp.asarray, frozen)
+    trainable_dev = jax.tree.map(jnp.asarray, trainable_inits)
+
+    sharding = None
     if mesh is not None:
         dp = mesh.shape["data"]
         if t_trials % dp != 0:
@@ -345,12 +342,36 @@ def run_vectorized_trials(
                 f"trial count ({t_trials}) must be divisible by the mesh data axis "
                 f"({dp}) to shard trials across devices"
             )
-        trial_sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        sharding = trial_sharding(mesh)
         rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        carry0, hp, perm, weights = jax.device_put((carry0, hp, perm, weights), trial_sharding)
+        # Shard the stacked inits BEFORE deriving the optimizer state and the
+        # best-copy from them: everything built from a sharded array inherits
+        # its sharding, and the mu/nu zeros below are constructed shard-local,
+        # so no T-wide tree is ever resident on a single device. (Staging the
+        # full carry on the default device first — the previous order — OOMs
+        # exactly the multi-device-sized groups the per-device budget admits.)
+        trainable_dev = jax.device_put(trainable_dev, sharding)
+        hp, perm, weights = jax.device_put((hp, perm, weights), sharding)
         frozen_dev, data, vdata, val_perm, val_weights = jax.device_put(
             (frozen_dev, data, vdata, val_perm, val_weights), rep
         )
+
+    # Same structure as jax.vmap(adamw_init)(trainable_dev), but the zeros are
+    # created directly on their target shards (no compile, no transient
+    # replicated T-wide allocation).
+    opt_state = {
+        "count": _stacked_zeros((t_trials,), jnp.int32, sharding),
+        "mu": jax.tree.map(lambda x: _stacked_zeros(x.shape, x.dtype, sharding), trainable_dev),
+        "nu": jax.tree.map(lambda x: _stacked_zeros(x.shape, x.dtype, sharding), trainable_dev),
+    }
+    best_val0 = jnp.full((t_trials,), jnp.finfo(jnp.float32).max, jnp.float32)
+    carry0 = {
+        "state": (trainable_dev, opt_state),
+        "best_val": best_val0 if sharding is None else jax.device_put(best_val0, sharding),
+        # .copy() (not device_put) so best never aliases the params buffer —
+        # the whole carry is donated to the fused dispatch.
+        "best": jax.tree.map(lambda x: x.copy(), trainable_dev),
+    }
     fused = _fused_trials_fn(
         model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm,
         loss_type,
@@ -367,13 +388,72 @@ def run_vectorized_trials(
         val_losses=val_arr,
         best_val=np.asarray(carry["best_val"]),
         best_epoch=np.argmin(val_arr, axis=1),
-        best_trainable=jax.device_get(carry["best"]),
+        # Stays on device (sharded when mesh given) so the follow-up
+        # evaluate_vectorized never funnels T trees through the host or onto
+        # one chip; np.asarray gathers it if a caller wants host copies.
+        best_trainable=carry["best"],
     )
 
 
+def trial_sharding(mesh) -> jax.sharding.NamedSharding:
+    """Sharding that splits a leading trial axis over the mesh's data axis."""
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+
+
+def _stacked_zeros(shape, dtype, sharding):
+    """Zeros of ``shape``; built per-shard host-side when ``sharding`` given.
+
+    ``jnp.zeros`` commits to the default device, and going through
+    ``device_put`` afterwards still materializes the full T-wide array there
+    first — at baseline-sweep scale (trials x 200M-param trees) that is the
+    OOM the per-device budget exists to prevent. A per-shard callback
+    allocates only shard-sized host buffers and never compiles anything.
+    """
+    if sharding is None:
+        return jnp.zeros(shape, dtype)
+
+    def shard(idx):
+        return np.zeros(
+            tuple(len(range(*s.indices(d))) for s, d in zip(idx, shape)), dtype
+        )
+
+    return jax.make_array_from_callback(tuple(shape), sharding, shard)
+
+
 def stack_trainables(trainables: list[Pytree]) -> Pytree:
-    """Stack per-trial init pytrees onto a leading trial axis."""
+    """Stack per-trial init pytrees onto a leading trial axis.
+
+    Materializes the T-wide tree on the default device — fine for multimodal
+    sweeps (fusion trees are ~MBs). For baseline-scale trees staged onto a
+    mesh, use :func:`replicate_trainables`, which builds each device's shard
+    directly.
+    """
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trainables)
+
+
+def replicate_trainables(trainable: Pytree, t_trials: int, sharding=None) -> Pytree:
+    """Stack ``t_trials`` copies of ONE init onto the trial axis.
+
+    Equivalent to ``stack_trainables([trainable] * t_trials)`` (the sweep
+    drivers' sequential-parity staging: every trial starts from the same
+    init), but with ``sharding`` each device's shard is built host-side from
+    a single host copy of the tree — the T-wide stack is never resident on
+    any one device or in host memory.
+    """
+    host = jax.tree.map(np.asarray, trainable)
+    if sharding is None:
+        return jax.tree.map(
+            lambda x: jnp.asarray(np.broadcast_to(x[None], (t_trials,) + x.shape)), host
+        )
+
+    def leaf(x):
+        shape = (t_trials,) + x.shape
+        full = np.broadcast_to(x[None], shape)  # view — no copy
+        return jax.make_array_from_callback(
+            shape, sharding, lambda idx: np.ascontiguousarray(full[idx])
+        )
+
+    return jax.tree.map(leaf, host)
 
 
 def device_hbm_bytes(default: int = 16 << 30) -> int:
@@ -460,15 +540,30 @@ def evaluate_vectorized(
     horizon_len: int,
     batch_size: int,
     trainable_key: str = "fusion",
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample-weighted test MSE/MAE per trial (same aggregation as
-    ``MultimodalEvaluator``), vmapped over the trial axis. Returns (T,) x2."""
+    ``MultimodalEvaluator``), vmapped over the trial axis. Returns (T,) x2.
+
+    With ``mesh``, the trial axis shards over its ``data`` axis (frozen tree
+    and dataset replicated) — groups sized by the per-device budget times the
+    device count would otherwise OOM a single chip at this post-training
+    step, after the sharded training already succeeded. Trial counts not
+    divisible by the data axis fall back to unsharded.
+    """
     n = int(data["context"].shape[0])
     perm, w, nb = build_epoch_indices(n, batch_size, False, 1, 1, np.random.default_rng(0))
     perm, w = jnp.asarray(perm[:, 0]), jnp.asarray(w[:, 0])
     jdata = {k: jnp.asarray(v) for k, v in data.items()}
 
     frozen_dev = jax.tree.map(jnp.asarray, frozen)
+    trainables_dev = jax.tree.map(jnp.asarray, trainables)
+    if mesh is not None:
+        t_trials = int(jax.tree.leaves(trainables_dev)[0].shape[0])
+        if t_trials % int(mesh.shape["data"]) == 0:
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            trainables_dev = jax.device_put(trainables_dev, trial_sharding(mesh))
+            frozen_dev, jdata, perm, w = jax.device_put((frozen_dev, jdata, perm, w), rep)
     fn = _eval_trials_fn(model, trainable_key, horizon_len, "text" in jdata, nb)
-    mse, mae = fn(trainables, frozen_dev, jdata, perm, w)
+    mse, mae = fn(trainables_dev, frozen_dev, jdata, perm, w)
     return np.asarray(mse), np.asarray(mae)

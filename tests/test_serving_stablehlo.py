@@ -123,3 +123,29 @@ def test_stablehlo_chronos_quantile_serving(tmp_path):
         atol=1e-5,
     )
     assert np.asarray(served["full_forecast"]).shape[-1] == len(decoder.adapter.config.quantiles)
+
+
+def test_flatten_refuses_lossy_containers():
+    """Trees whose structure can't survive the npz round-trip must refuse at
+    flatten time (review finding): tuples come back as lists, non-string dict
+    keys as strings, and empty containers vanish — each would export cleanly
+    and then fail every serve call with an opaque pytree mismatch."""
+    import pytest
+
+    from multimodal_timesfm_tpu.serving import _flatten_params, _unflatten_params
+
+    arr = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="tuple"):
+        _flatten_params({"a": (arr, arr)})
+    with pytest.raises(ValueError, match="empty dict"):
+        _flatten_params({"a": {"b": arr, "empty": {}}})
+    with pytest.raises(ValueError, match="empty list"):
+        _flatten_params({"a": [arr], "dead": []})
+    with pytest.raises(ValueError, match="not a string"):
+        _flatten_params({"a": {0: arr}})
+
+    # the accepted shapes round-trip with IDENTICAL pytree structure
+    ok = {"d": {"w": arr, "layers": [{"k": arr}, {"k": arr}]}}
+    leaves, spec, lens = _flatten_params(ok)
+    rebuilt = _unflatten_params(leaves, spec, lens)
+    assert jax.tree.structure(rebuilt) == jax.tree.structure(ok)
