@@ -761,7 +761,16 @@ class MultimodalTrainer:
                 stacklevel=2,
             )
         self._load_checkpoint_state(checkpoint)
-        opt_state = jax.tree.map(jnp.asarray, checkpoint["optimizer_state"])
+        loaded_opt = checkpoint["optimizer_state"]
+        # Orbax restores plain containers (optax namedtuples come back as
+        # dicts); rebuild against the live opt state's structure so resume
+        # works from either backend.
+        template = jax.device_get(self.state.opt_state)
+        if jax.tree.structure(loaded_opt) != jax.tree.structure(template):
+            from multimodal_timesfm_tpu.training.checkpoint import restructure_like
+
+            loaded_opt = restructure_like(template, loaded_opt)
+        opt_state = jax.tree.map(jnp.asarray, loaded_opt)
         if self.mesh is not None:
             opt_state = jax.device_put(opt_state, replicated(self.mesh))
         self.state = TrainState(self.state.trainable, opt_state)

@@ -138,33 +138,53 @@ class LocalSweep:
 
     # -- random sampling ----------------------------------------------------
 
+    @staticmethod
+    def _resolve_distribution(spec: dict[str, Any]) -> str:
+        """Distribution name for a min/max spec, with W&B's implicit default.
+
+        W&B treats a bare ``{min, max}`` spec (no ``distribution`` key) as
+        ``int_uniform`` when both bounds are ints, ``uniform`` otherwise —
+        sweep YAMLs written for the W&B agent must sample the same way
+        offline. Raises a spec-naming ValueError for anything else
+        (including distributions that lack min/max) instead of dying on
+        ``float(None)``.
+        """
+        if "min" not in spec or "max" not in spec:
+            raise ValueError(f"Unsupported parameter spec (needs min/max): {spec}")
+        dist = spec.get("distribution")
+        if dist is None:
+            both_int = isinstance(spec["min"], int) and isinstance(spec["max"], int)
+            return "int_uniform" if both_int else "uniform"
+        if dist not in ("uniform", "log_uniform_values", "int_uniform"):
+            raise ValueError(f"Unsupported parameter spec: {spec}")
+        return dist
+
     def _sample_one(self, spec: dict[str, Any]):
         if "value" in spec:
             return spec["value"]
         if "values" in spec:
             values = spec["values"]
             return values[int(self._rng.integers(len(values)))]
-        dist = spec.get("distribution")
+        dist = self._resolve_distribution(spec)
         # PyYAML (YAML 1.1) parses exponent-only floats like `1e-6` as
         # strings — the shipped sweep YAMLs use that form, so coerce.
-        lo, hi = float(spec.get("min")), float(spec.get("max"))
+        lo, hi = float(spec["min"]), float(spec["max"])
         if dist == "uniform":
             return float(self._rng.uniform(lo, hi))
         if dist == "log_uniform_values":
             return float(math.exp(self._rng.uniform(math.log(lo), math.log(hi))))
-        if dist == "int_uniform":
-            return int(self._rng.integers(int(lo), int(hi) + 1))
-        raise ValueError(f"Unsupported parameter spec: {spec}")
+        return int(self._rng.integers(int(lo), int(hi) + 1))
 
     # -- TPE ---------------------------------------------------------------
 
-    @staticmethod
-    def _continuous_space(spec: dict[str, Any]):
+    @classmethod
+    def _continuous_space(cls, spec: dict[str, Any]):
         """(lo, hi, to_internal, from_internal) for a continuous/int spec, else None."""
-        dist = spec.get("distribution")
-        if dist not in ("uniform", "log_uniform_values", "int_uniform"):
+        try:
+            dist = cls._resolve_distribution(spec)
+        except ValueError:
             return None
-        lo, hi = float(spec.get("min")), float(spec.get("max"))
+        lo, hi = float(spec["min"]), float(spec["max"])
         if dist == "log_uniform_values":
             return (
                 math.log(lo),
@@ -319,12 +339,18 @@ class LocalSweep:
         results_path = self.output_dir / "sweep_results.jsonl"
         metric_name = self.metric.get("name")
         failures = 0
+        n_trials = 1 if count is None else count  # explicit 0 runs zero trials
         offset = self.next_trial_index()  # resumed sweeps continue numbering
-        for trial in range(count or 1):
+        for trial in range(n_trials):
             run = LocalRun(f"local-{offset + trial}", {}, results_path)
             try:
                 config = self.sample()
                 run.config = _Config(config)
+                # Claim the run_id on disk BEFORE training: a trial killed
+                # mid-run (SIGKILL/OOM) otherwise leaves no record, and the
+                # relaunch would reuse its id AND its resume-RNG position —
+                # replaying the identical config under a duplicated run_id.
+                run.log({"event": "trial_start", "config": config})
                 with run:
                     function(run)
                 if metric_name is not None and metric_name in run.summary:
@@ -332,5 +358,5 @@ class LocalSweep:
             except Exception as e:  # noqa: BLE001 - trial isolation
                 failures += 1
                 run.log({"error": f"{type(e).__name__}: {e}"})
-        if failures == (count or 1):
+        if n_trials and failures == n_trials:
             raise RuntimeError(f"All {failures} sweep trial(s) failed; see {results_path}")

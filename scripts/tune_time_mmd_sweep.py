@@ -137,8 +137,13 @@ def main(mode: str = MODE) -> int:
         offset = sweep.next_trial_index()  # relaunches continue numbering
         runs = [
             LocalRun(f"local-{offset + t}", sweep.sample(), results_path)
-            for t in range(args.count or 1)
+            for t in range(1 if args.count is None else args.count)
         ]
+        for run in runs:
+            # Claim run_ids on disk before training: a killed vectorized group
+            # otherwise leaves no record and a relaunch would reuse the ids
+            # (and replay the resume-RNG's identical configs).
+            run.log({"event": "trial_start", "config": dict(run.config.items())})
         _logger.info("Vectorized sweep: %d trial(s)", len(runs))
         train_and_evaluate_many(
             runs=runs,

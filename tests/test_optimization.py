@@ -84,6 +84,8 @@ def test_training_args_yaml_roundtrip(tmp_path):
 
 
 def test_local_sweep_sampler(tmp_path):
+    import json
+
     from multimodal_timesfm_tpu.utils.tracking import LocalSweep
 
     sweep = LocalSweep(
@@ -116,8 +118,13 @@ def test_local_sweep_sampler(tmp_path):
 
     sweep.agent(trial, count=2)
     assert len(logged) == 2
-    results = (tmp_path / "sweep_results.jsonl").read_text().strip().splitlines()
-    assert len(results) == 2
+    rows = [
+        json.loads(l)
+        for l in (tmp_path / "sweep_results.jsonl").read_text().strip().splitlines()
+    ]
+    # one metric row per trial, plus the id-claiming trial_start records
+    assert sum(1 for r in rows if "test/mse" in r) == 2
+    assert sum(1 for r in rows if r.get("event") == "trial_start") == 2
 
 
 def test_local_sweep_trial_isolation(tmp_path):
@@ -450,3 +457,68 @@ def test_resumed_sweep_does_not_replay_configs(tmp_path):
     second.agent(fn, count=4)
     second_xs = [c["x"] for c, _ in second._observations[4:]]
     assert not np.allclose(sorted(first_xs), sorted(second_xs))
+
+
+def test_local_sweep_wandb_default_distributions(tmp_path):
+    """Bare {min,max} specs use W&B's implicit defaults offline too:
+    int_uniform when both bounds are ints, uniform otherwise; specs without
+    min/max raise the informative spec error (review findings)."""
+    import pytest
+
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    sweep = LocalSweep(
+        {
+            "parameters": {
+                "lr": {"min": 0.0001, "max": 0.1},          # -> uniform
+                "epochs": {"min": 1, "max": 4},              # -> int_uniform
+            }
+        },
+        tmp_path,
+        seed=0,
+    )
+    for _ in range(20):
+        s = sweep.sample()
+        assert 0.0001 <= s["lr"] <= 0.1 and isinstance(s["lr"], float)
+        assert s["epochs"] in (1, 2, 3, 4) and isinstance(s["epochs"], int)
+
+    bad = LocalSweep(
+        {"parameters": {"x": {"distribution": "normal", "mu": 0, "sigma": 1}}},
+        tmp_path / "bad",
+        seed=0,
+    )
+    with pytest.raises(ValueError, match="min/max"):
+        bad.sample()
+
+
+def test_local_sweep_count_zero_runs_nothing(tmp_path):
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    sweep = LocalSweep({"parameters": {"x": {"values": [1]}}}, tmp_path, seed=0)
+    calls = []
+    sweep.agent(lambda run: calls.append(run.id), count=0)
+    assert calls == []
+    assert not (tmp_path / "sweep_results.jsonl").exists()
+
+
+def test_local_sweep_killed_trial_does_not_reuse_run_id(tmp_path):
+    """A trial killed mid-run leaves its trial_start record, so a relaunch
+    continues numbering instead of reusing the id (review finding: only
+    trials that logged a metric counted toward next_trial_index)."""
+    from multimodal_timesfm_tpu.utils.tracking import LocalSweep
+
+    sweep = LocalSweep({"parameters": {"x": {"values": [1]}}}, tmp_path, seed=0)
+
+    class _Kill(BaseException):
+        """Simulates SIGKILL: not caught by the agent's per-trial isolation."""
+
+    def killed(run):
+        raise _Kill()
+
+    try:
+        sweep.agent(killed, count=1)
+    except _Kill:
+        pass
+    # the dead trial claimed local-0 on disk before training started
+    relaunched = LocalSweep({"parameters": {"x": {"values": [1]}}}, tmp_path, seed=0)
+    assert relaunched.next_trial_index() == 1
