@@ -67,6 +67,12 @@ class ConcatDataset(SizedDataset[T]):
     def __getitem__(self, index: int) -> T:
         if index < 0:
             index += len(self)
+            # Still-negative after wrapping = out of range. Without this
+            # check the loop's `index < n` test passes and the FIRST
+            # dataset's list silently serves a Python-negative index —
+            # wrong sample instead of an error (torch raises here too).
+            if index < 0:
+                raise IndexError("index out of range")
         for d, n in zip(self.datasets, self._lengths):
             if index < n:
                 return d[index]

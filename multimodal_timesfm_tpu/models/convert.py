@@ -41,22 +41,57 @@ def _load_safetensors(path: Path) -> dict[str, np.ndarray]:
     return dict(load_file(str(path)))
 
 
+def _load_torch_bin(path: Path) -> dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
 def load_backbone_checkpoint(path: Path, adapter: TsfmAdapter) -> Params:
-    """Load backbone params from a local checkpoint directory or file."""
+    """Load backbone params from a local checkpoint directory or file.
+
+    Accepts every layout ``snapshot.resolve_snapshot_dir`` resolves:
+    ``model.safetensors`` or ``pytorch_model.bin`` HF snapshots (the resolver
+    prefers revisions carrying either), plus this framework's ``.ckpt``/
+    ``.pkl`` pickles of a params pytree.
+    """
     path = Path(path)
     if path.is_dir():
         st = path / "model.safetensors"
         if st.exists():
             return convert_safetensors(_load_safetensors(st), adapter)
-        candidates = list(path.glob("*.ckpt")) + list(path.glob("*.pkl"))
+        bin_path = path / "pytorch_model.bin"
+        if bin_path.exists():
+            return convert_safetensors(_load_torch_bin(bin_path), adapter)
+        candidates = sorted(path.glob("*.ckpt")) + sorted(path.glob("*.pkl"))
         if candidates:
+            if len(candidates) > 1:
+                _logger.warning(
+                    "Multiple checkpoints under %s; loading %s (lexicographically "
+                    "first — pass the file path directly to pick another)",
+                    path,
+                    candidates[0].name,
+                )
             path = candidates[0]
         else:
-            raise FileNotFoundError(f"No model.safetensors or .ckpt/.pkl under {path}")
+            raise FileNotFoundError(
+                f"No model.safetensors, pytorch_model.bin, or .ckpt/.pkl under {path}"
+            )
     if path.suffix == ".safetensors":
         return convert_safetensors(_load_safetensors(path), adapter)
+    if path.suffix == ".bin":
+        return convert_safetensors(_load_torch_bin(path), adapter)
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    if isinstance(payload, dict) and "adapter_params" not in payload and (
+        "fusion_params" in payload or "optimizer_state" in payload
+    ):
+        raise ValueError(
+            f"{path} is a training checkpoint without backbone weights "
+            "(multimodal mode saves fusion_params only) — point at a baseline "
+            "checkpoint carrying adapter_params, or at a pretrained snapshot."
+        )
     params = payload.get("adapter_params", payload) if isinstance(payload, dict) else payload
     template = adapter.init(jax.random.key(0))
     return jax.tree.map(lambda ref, v: jnp.asarray(v, ref.dtype), template, params)
@@ -101,11 +136,18 @@ def convert_safetensors(sd: dict[str, np.ndarray], adapter: TsfmAdapter) -> Para
 # wiring oracle in tests/test_hf_timesfm_oracle.py).
 
 
-def _residual_block_rules(ours: str, theirs: str) -> list[tuple[str, list[tuple[str, str]]]]:
-    def cands(inner: list[str], suffix: str, transform: str):
+def _residual_block_rules(
+    ours: str,
+    theirs: str,
+    hidden: tuple[str, ...] = ("hidden_layer.0", "input_layer", "hidden_layer"),
+) -> list[tuple[str, list[tuple[str, str]]]]:
+    """Rules for one upstream ResidualBlock; ``hidden`` orders the inner-layer
+    name candidates (all are tried, order only sets precedence when multiple
+    aliases coexist in one checkpoint)."""
+
+    def cands(inner, suffix: str, transform: str):
         return [(f"{theirs}.{n}.{suffix}", transform) for n in inner]
 
-    hidden = ["hidden_layer.0", "input_layer", "hidden_layer"]
     return [
         (rf"{ours}/hidden/kernel", cands(hidden, "weight", "t")),
         (rf"{ours}/hidden/bias", cands(hidden, "bias", "")),
@@ -146,23 +188,11 @@ TIMESFM_NAME_RULES: list[tuple[str, list[tuple[str, str]]]] = [
     *_residual_block_rules("output_projection_quantiles", "output_projection_quantiles"),
 ]
 
-def _chronos_residual_rules(ours: str, theirs: str) -> list[tuple[str, list[tuple[str, str]]]]:
-    def cands(inner: list[str], suffix: str, transform: str):
-        return [(f"{theirs}.{n}.{suffix}", transform) for n in inner]
-
-    hidden = ["hidden_layer", "input_layer", "hidden_layer.0"]
-    return [
-        (rf"{ours}/hidden/kernel", cands(hidden, "weight", "t")),
-        (rf"{ours}/hidden/bias", cands(hidden, "bias", "")),
-        (rf"{ours}/output/kernel", cands(["output_layer"], "weight", "t")),
-        (rf"{ours}/output/bias", cands(["output_layer"], "bias", "")),
-        (rf"{ours}/residual/kernel", cands(["residual_layer"], "weight", "t")),
-        (rf"{ours}/residual/bias", cands(["residual_layer"], "bias", "")),
-    ]
-
+# Chronos checkpoints favor the plain "hidden_layer" alias first.
+_CHRONOS_HIDDEN = ("hidden_layer", "input_layer", "hidden_layer.0")
 
 CHRONOS_NAME_RULES: list[tuple[str, list[tuple[str, str]]]] = [
-    *_chronos_residual_rules("input_patch_embedding", "input_patch_embedding"),
+    *_residual_block_rules("input_patch_embedding", "input_patch_embedding", _CHRONOS_HIDDEN),
     (r"shared", [("shared.weight", "")]),
     (
         r"encoder/rel_pos_bias",
@@ -179,7 +209,7 @@ CHRONOS_NAME_RULES: list[tuple[str, list[tuple[str, str]]]] = [
     (r"encoder/layers/ffn_norm/scale", [("encoder.block.{i}.layer.1.layer_norm.weight", "rms")]),
     (r"encoder/layers/ffn_up/kernel", [("encoder.block.{i}.layer.1.DenseReluDense.wi.weight", "t")]),
     (r"encoder/layers/ffn_down/kernel", [("encoder.block.{i}.layer.1.DenseReluDense.wo.weight", "t")]),
-    *_chronos_residual_rules("output_patch_embedding", "output_patch_embedding"),
+    *_residual_block_rules("output_patch_embedding", "output_patch_embedding", _CHRONOS_HIDDEN),
 ]
 
 
@@ -195,33 +225,36 @@ def _convert_with_rules(
     # normalization: some exports prefix names (e.g. "model.")
     prefixes = ("", "model.", "module.")
 
-    def lookup(name: str) -> np.ndarray | None:
+    def lookup(name: str, attempt: set[str]) -> np.ndarray | None:
         for pre in prefixes:
             if pre + name in sd:
-                used.add(pre + name)
+                attempt.add(pre + name)
                 return sd[pre + name]
         return None
 
-    def fetch(name_tpl: str, transform: str, i: int | None) -> np.ndarray | None:
+    def fetch(name_tpl: str, transform: str, i: int | None, attempt: set[str]) -> np.ndarray | None:
         """Resolve ONE candidate (for layer i when templated), transformed."""
         fmt = {"i": i} if i is not None else {}
         if transform.startswith("split_"):
-            parts = [lookup(name_tpl.format(p=p, **fmt)) for p in ("q", "k", "v")]
+            parts = [lookup(name_tpl.format(p=p, **fmt), attempt) for p in ("q", "k", "v")]
             if any(p is None for p in parts):
                 return None
             if transform == "split_t":  # (out,in) weights -> fused (in, 3*out)
                 return np.concatenate([p.T for p in parts], axis=1)
             return np.concatenate(parts, axis=0)  # split_b: fused bias
-        arr = lookup(name_tpl.format(**fmt))
+        arr = lookup(name_tpl.format(**fmt), attempt)
         if arr is None:
             return None
         if transform == "t":
             return arr.T
         if transform == "rms":
             # Convention auto-detection (see the rules comment): real
-            # weight-convention RMSNorm tensors cluster around 1, PAX-style
-            # zero-centered scales around 0.
-            if abs(float(np.mean(arr))) > 0.5:
+            # weight-convention RMSNorm tensors cluster around +1, PAX-style
+            # zero-centered scales around 0. Only a POSITIVE mean indicates
+            # the weight convention — a strongly negative mean can only be a
+            # (drifted) zero-centered scale, and subtracting 1 from it would
+            # silently invert activations.
+            if float(np.mean(arr)) > 0.5:
                 _logger.info(
                     "RMSNorm %s: weight-convention detected (mean %.3f); storing weight - 1",
                     name_tpl.format(**fmt),
@@ -233,13 +266,20 @@ def _convert_with_rules(
 
     def resolve(candidates: list[tuple[str, str]], leaf) -> np.ndarray | None:
         for name_tpl, transform in candidates:
+            # Tensors consumed by a candidate count as "used" only if the
+            # WHOLE candidate succeeds — a partial match that falls through
+            # to the next candidate must not suppress the unconsumed-tensor
+            # warning for the names it touched.
+            attempt: set[str] = set()
             if "{i}" in name_tpl:
-                per_layer = [fetch(name_tpl, transform, i) for i in range(leaf.shape[0])]
+                per_layer = [fetch(name_tpl, transform, i, attempt) for i in range(leaf.shape[0])]
                 if all(p is not None for p in per_layer):
+                    used.update(attempt)
                     return np.stack(per_layer)
             else:
-                value = fetch(name_tpl, transform, None)
+                value = fetch(name_tpl, transform, None, attempt)
                 if value is not None:
+                    used.update(attempt)
                     return value
         return None
 

@@ -104,7 +104,20 @@ def _ln(p, x, eps):
 def bert_encode(
     params: Params, cfg: BertConfig, input_ids: jax.Array, attention_mask: jax.Array
 ) -> jax.Array:
-    """(B, S) ids + mask -> (B, D) L2-normalized mean-pooled sentence embeddings."""
+    """(B, S) ids + mask -> (B, D) L2-normalized mean-pooled sentence embeddings.
+
+    ``attention_mask`` uses HF polarity — int, 1 = valid token — as produced
+    by the tokenizers, NOT the repo-wide bool True=padded convention of the
+    time-series models. A bool mask is refused so a convention mix-up cannot
+    silently invert attention (padded keys would become the only ones
+    attended, and pooling would average pad embeddings).
+    """
+    if attention_mask.dtype == jnp.bool_:
+        raise TypeError(
+            "attention_mask must be the tokenizer's int mask (HF polarity, 1=valid); "
+            "a bool mask suggests the repo's True=padded convention, which would be "
+            "silently inverted here — convert explicitly."
+        )
     b, s = input_ids.shape
     emb = params["embeddings"]
     x = (

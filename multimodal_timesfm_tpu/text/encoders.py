@@ -29,7 +29,7 @@ from multimodal_timesfm_tpu.text.modernbert import (
     ModernBertConfig,
     convert_hf_modernbert_state,
     init_modernbert,
-    modernbert_encode,
+    modernbert_encode_jit,
 )
 from multimodal_timesfm_tpu.text.tokenizer import HashTokenizer
 from multimodal_timesfm_tpu.utils.logging import get_logger
@@ -169,7 +169,12 @@ class JapaneseTextEncoder(TextEncoderBase):
     def _encode_arrays(self, ids, mask):
         import jax.numpy as jnp
 
-        return modernbert_encode(self.params, self.config, jnp.asarray(ids), jnp.asarray(mask))
+        # Jitted like the English path (bert_encode_jit) — eager dispatch of
+        # a 25-layer model per chunk made Japanese cache builds pathologically
+        # slow (review finding).
+        return modernbert_encode_jit(
+            self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
+        )
 
     def _vocab_size(self):
         return self.config.vocab_size

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Any
 
 import jax
@@ -116,7 +117,20 @@ def _rope(x: jax.Array, theta: float) -> jax.Array:
 def modernbert_encode(
     params: Params, cfg: ModernBertConfig, input_ids: jax.Array, attention_mask: jax.Array
 ) -> jax.Array:
-    """(B, S) ids + mask -> (B, D) L2-normalized sentence embeddings."""
+    """(B, S) ids + mask -> (B, D) L2-normalized sentence embeddings.
+
+    ``attention_mask`` uses HF polarity — int, 1 = valid token — as produced
+    by the tokenizers, NOT the repo-wide bool True=padded convention of the
+    time-series models (the encoders are self-contained: mask produced and
+    consumed inside ``TextEncoderBase.encode``). A bool mask is refused so a
+    convention mix-up cannot silently invert attention.
+    """
+    if attention_mask.dtype == jnp.bool_:
+        raise TypeError(
+            "attention_mask must be the tokenizer's int mask (HF polarity, 1=valid); "
+            "a bool mask suggests the repo's True=padded convention, which would be "
+            "silently inverted here — convert explicitly."
+        )
     b, s = input_ids.shape
     x = params["embeddings"]["word"][input_ids]
     x = _ln(params["embeddings"]["norm"], x, cfg.layer_norm_eps)
@@ -163,6 +177,14 @@ def modernbert_encode(
         mask = attention_mask[..., None].astype(x.dtype)
         pooled = jnp.sum(x * mask, axis=1) / jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
     return pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def modernbert_encode_jit(params, cfg, input_ids, attention_mask):
+    """Jitted encode (cfg is frozen/hashable, so it keys the trace): the cache
+    build embeds thousands of texts through 25 layers — eagerly that is
+    hundreds of per-op dispatches per batch."""
+    return modernbert_encode(params, cfg, input_ids, attention_mask)
 
 
 def convert_hf_modernbert_state(sd: dict, cfg: ModernBertConfig) -> Params:

@@ -65,8 +65,12 @@ class WordPieceTokenizer:
         self.is_hash_fallback = False
 
         # Native C++ fast path (csrc/wordpiece.cpp); python fallback otherwise.
+        # The native vocab hardcodes max_chars_per_word=100, so a custom
+        # max_input_chars_per_word must route through the Python path — the
+        # two would otherwise tokenize 21-100-char words differently for the
+        # same configuration.
         self._native = None
-        if use_native and do_lower_case:
+        if use_native and do_lower_case and max_input_chars_per_word == 100:
             try:
                 from multimodal_timesfm_tpu.text.native import NativeWordPiece
 

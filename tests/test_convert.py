@@ -193,3 +193,90 @@ def test_rmsnorm_weight_convention_autodetected():
     np.testing.assert_allclose(
         np.asarray(params["stacked_xf"]["attn_norm"]["scale"]), 0.1, atol=1e-6
     )
+
+
+def test_load_backbone_from_bin_snapshot(tmp_path):
+    """pytorch_model.bin snapshots load through load_backbone_checkpoint —
+    resolve_snapshot_dir accepts them, so the loader must too (review
+    finding: the directory branch only checked model.safetensors)."""
+    import torch
+
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    sd, _ = _synthetic_state_dict(adapter, TIMESFM_NAME_RULES)
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, tmp_path / "pytorch_model.bin"
+    )
+    params = load_backbone_checkpoint(tmp_path, adapter)
+    np.testing.assert_array_equal(
+        np.asarray(params["tokenizer"]["hidden"]["kernel"]),
+        sd["tokenizer.hidden_layer.0.weight"].T,
+    )
+
+
+def test_rmsnorm_negative_mean_not_shifted():
+    """A strongly NEGATIVE-mean tensor is a drifted zero-centered scale, not
+    the weight convention (which clusters at +1) — subtracting 1 from it
+    would silently invert activations (review finding: abs(mean) misfired)."""
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    sd, _ = _synthetic_state_dict(adapter, TIMESFM_NAME_RULES)
+    num_layers = TimesFMConfig.tiny().num_layers
+    for i in range(num_layers):
+        name = f"stacked_xf.{i}.input_layernorm.weight"
+        sd[name] = np.full_like(sd[name], -0.8)
+    params = convert_safetensors(sd, adapter)
+    np.testing.assert_allclose(np.asarray(params["stacked_xf"]["attn_norm"]["scale"]), -0.8)
+
+
+def test_multimodal_checkpoint_rejected_with_clear_error(tmp_path):
+    """Pointing the backbone loader at a fusion-only training checkpoint
+    raises a targeted error, not a raw pytree-structure mismatch."""
+    import pickle
+
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    path = tmp_path / "best_model.ckpt"
+    with open(path, "wb") as f:
+        pickle.dump(
+            {"fusion_params": {"w": np.zeros(3)}, "optimizer_state": {}, "epoch": 1}, f
+        )
+    with pytest.raises(ValueError, match="without backbone weights"):
+        load_backbone_checkpoint(path, adapter)
+
+
+def test_multiple_ckpts_pick_deterministic(tmp_path):
+    """A directory with several pickles loads the lexicographically first one
+    (review finding: unsorted glob picked an arbitrary file)."""
+    import jax
+    import pickle
+
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    p_a = jax.device_get(adapter.init(jax.random.key(1)))
+    p_b = jax.device_get(adapter.init(jax.random.key(2)))
+    with open(tmp_path / "epoch_2.ckpt", "wb") as f:
+        pickle.dump({"adapter_params": p_b}, f)
+    with open(tmp_path / "best.ckpt", "wb") as f:
+        pickle.dump({"adapter_params": p_a}, f)
+    restored = load_backbone_checkpoint(tmp_path, adapter)  # "best.ckpt" sorts first
+    np.testing.assert_array_equal(
+        np.asarray(restored["tokenizer"]["hidden"]["kernel"]),
+        np.asarray(p_a["tokenizer"]["hidden"]["kernel"]),
+    )
+
+
+def test_failed_candidate_does_not_suppress_unused_warning(caplog):
+    """Tensors touched by a candidate that ultimately fails still count as
+    unconsumed (review finding: partial matches were marked used, hiding
+    exactly the mapping mistakes the warning exists to surface)."""
+    import logging
+
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    sd, _ = _synthetic_state_dict(adapter, TIMESFM_NAME_RULES)  # fused qkv_proj names
+    # a stray split-projection tensor for layer 0 only: the split candidate
+    # finds it, then fails on the missing k/v siblings and falls through to
+    # the fused candidate — the stray must still be reported unconsumed.
+    # (split_t is tried AFTER qkv_proj, but used-marking must be atomic
+    # regardless of order.)
+    stray = "stacked_xf.0.self_attn.q_proj.weight"
+    sd[stray] = np.zeros((8, 8), np.float32)
+    with caplog.at_level(logging.WARNING):
+        convert_safetensors(sd, adapter)
+    assert any(stray in rec.getMessage() for rec in caplog.records)

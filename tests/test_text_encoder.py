@@ -155,3 +155,73 @@ def test_tokenizer_fuzz_vs_hf(vocab_file):
     for _ in range(200):
         text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
         assert py.encode(text) == hf.encode(text, add_special_tokens=True), repr(text)
+
+
+def test_encode_refuses_bool_mask():
+    """The text encoders use HF mask polarity (int, 1=valid) — the inverse of
+    the repo-wide bool True=padded convention. A bool mask is refused so a
+    convention mix-up can't silently invert attention (review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = BertConfig(vocab_size=32, hidden_size=8, num_layers=1, num_heads=2,
+                     intermediate_size=16, max_position_embeddings=16)
+    params = init_bert(jax.random.key(0), cfg)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    with pytest.raises(TypeError, match="bool mask"):
+        bert_encode(params, cfg, ids, jnp.zeros((1, 4), bool))
+
+    from multimodal_timesfm_tpu.text.modernbert import (
+        ModernBertConfig,
+        init_modernbert,
+        modernbert_encode,
+    )
+
+    mcfg = ModernBertConfig(vocab_size=32, hidden_size=8, num_layers=1, num_heads=2,
+                            intermediate_size=16)
+    mparams = init_modernbert(jax.random.key(0), mcfg)
+    with pytest.raises(TypeError, match="bool mask"):
+        modernbert_encode(mparams, mcfg, ids, jnp.zeros((1, 4), bool))
+
+
+def test_modernbert_jit_matches_eager():
+    """modernbert_encode_jit == eager encode (the Japanese cache path now
+    dispatches one compiled program per chunk instead of hundreds of eager
+    ops — review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.text.modernbert import (
+        ModernBertConfig,
+        init_modernbert,
+        modernbert_encode,
+        modernbert_encode_jit,
+    )
+
+    cfg = ModernBertConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                           intermediate_size=32)
+    params = init_modernbert(jax.random.key(1), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, size=(3, 10)), jnp.int32)
+    mask = jnp.asarray((rng.random((3, 10)) > 0.2).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(modernbert_encode_jit(params, cfg, ids, mask)),
+        np.asarray(modernbert_encode(params, cfg, ids, mask)),
+        atol=1e-6,
+    )
+
+
+def test_custom_max_chars_routes_to_python(vocab_file):
+    """A non-default max_input_chars_per_word bypasses the native path (the
+    C++ vocab hardcodes 100) so both configurations tokenize identically
+    (review finding)."""
+    tok = WordPieceTokenizer(vocab_file, max_input_chars_per_word=5)
+    assert tok._native is None
+    # "report" (6 chars) exceeds the budget -> [UNK]; "fox" stays a token
+    ids = tok.encode("report fox")
+    unk, fox = tok.vocab["[UNK]"], tok.vocab["fox"]
+    assert unk in ids and fox in ids
+
+    default = WordPieceTokenizer(vocab_file)  # native allowed at the default
+    ids_d = default.encode("report fox")
+    assert tok.vocab["report"] in ids_d

@@ -139,3 +139,18 @@ def test_summarize_trace_missing_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         summarize_trace(tmp_path)
+
+
+def test_concat_dataset_negative_underflow_raises():
+    """Out-of-range negative indices raise (torch parity) instead of silently
+    serving the first dataset's last element (review finding)."""
+    import pytest
+
+    from multimodal_timesfm_tpu.data.dataset import ConcatDataset
+
+    ds = ConcatDataset([[0, 1, 2], [3, 4]])
+    assert ds[-1] == 4 and ds[-5] == 0  # valid negatives wrap
+    with pytest.raises(IndexError):
+        ds[-6]
+    with pytest.raises(IndexError):
+        ds[5]
