@@ -3,8 +3,13 @@
 The reference is strictly single-process (SURVEY.md §2.4). For multi-host
 TPU slices, JAX needs one ``jax.distributed.initialize`` call per host before
 any backend use; after that, ``make_mesh`` over ``jax.devices()`` spans the
-slice and the same sharded train step runs unchanged (batch shards over all
-hosts' chips; each host feeds its addressable shard).
+slice and the same sharded train step runs: the trainer stages host arrays
+via ``parallel.mesh.put_global``, which routes through
+``make_array_from_process_local_data`` when ``jax.process_count() > 1``
+(plain ``device_put`` would reject shardings that span non-addressable
+devices). Every host builds the full dataset and JAX slices out each
+process's addressable shards. Untested here (single-process environment);
+the single-process path is identical to plain ``device_put``.
 
 Sweep fan-out across hosts does NOT need this: independent trials should run
 as independent single-host processes (one W&B/local agent each), which is

@@ -55,8 +55,10 @@ def make_mesh(config: MeshConfig | None = None, devices: list[jax.Device] | None
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     mp = config.model_parallel
+    if mp < 1:
+        raise ValueError(f"model_parallel must be >= 1, got {mp}")
     dp = config.data_parallel if config.data_parallel > 0 else n // mp
-    if dp * mp != n:
+    if dp < 1 or dp * mp != n:
         raise ValueError(f"mesh ({dp} data x {mp} model) does not match {n} devices")
     dev_array = np.asarray(devices).reshape(dp, mp)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
@@ -75,6 +77,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def pad_to_multiple(n: int, m: int) -> int:
     """Round ``n`` up to a multiple of ``m`` (for batch padding before sharding)."""
     return int(math.ceil(n / m) * m)
+
+
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works on multi-process (multi-host) meshes.
+
+    ``jax.device_put`` requires every device in the sharding to be
+    addressable, so on a multi-host slice host-local numpy arrays must go
+    through ``make_array_from_process_local_data`` instead. Our loaders
+    build the FULL array on every host, so the explicit ``global_shape``
+    tells JAX each process holds a complete copy and only its addressable
+    shards are sliced out — this covers both replicated and data-sharded
+    staging. Single-process (the tested path) is a plain ``device_put``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
 
 
 def shard_batch(mesh: Mesh, tree):

@@ -40,7 +40,16 @@ def _spec_for(path: tuple[str, ...], ndim: int) -> P:
         return P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))
 
     # Column-parallel: expand into the sharded hidden/head dimension.
-    if parent in ("ffn_up", "qkv", "hidden", "q", "k", "v") and leaf in ("kernel", "bias"):
+    # The FUSED qkv kernel (D, 3*H*D) is deliberately NOT column-sharded:
+    # layers.py slices the fused output at the q/k/v thirds ([0:HD],
+    # [HD:2HD], [2HD:3HD]) and the seq==1 fast path slices the kernel
+    # itself — those boundaries only align with shard boundaries when
+    # model_parallel is a multiple of 3, so for any other mp GSPMD must
+    # all-gather the qkv activation every layer, silently defeating TP.
+    # Replicating qkv keeps attention compute data-parallel; the out
+    # projection stays row-parallel (local input slice + one psum), and the
+    # separate q/k/v kernels of the Chronos/T5 path shard cleanly by head.
+    if parent in ("ffn_up", "hidden", "q", "k", "v") and leaf in ("kernel", "bias"):
         return last_dim_sharded()
     # Row-parallel: contract the sharded dimension (bias replicated).
     if parent in ("ffn_down", "out", "output") and leaf == "kernel":

@@ -47,7 +47,7 @@ import optax
 from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
 from multimodal_timesfm_tpu.models.base import Params
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
-from multimodal_timesfm_tpu.parallel.mesh import replicated
+from multimodal_timesfm_tpu.parallel.mesh import put_global, replicated
 from multimodal_timesfm_tpu.training.checkpoint import (
     load_checkpoint,
     rotate_checkpoints,
@@ -110,10 +110,12 @@ def build_epoch_indices(
     semantics. ``dp`` pads the batch dim to a multiple of the data-parallel
     axis. Shared by the trainer and the vectorized sweep runner.
     """
+    from multimodal_timesfm_tpu.parallel.mesh import pad_to_multiple
+
     idx = rng.permutation(n) if shuffle else np.arange(n)
     num_batches = math.ceil(n / batch)
     num_steps = math.ceil(num_batches / accum)
-    b_padded = math.ceil(batch / dp) * dp
+    b_padded = pad_to_multiple(batch, dp)
     total = num_steps * accum * b_padded
 
     take = np.zeros(total, np.int64)
@@ -234,6 +236,10 @@ class MultimodalTrainer:
 
         # --- device placement ---
         self._dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        # Kept for checkpoint restore: restored trainables/opt state must
+        # re-apply the SAME placement, not fall back to replicated (which
+        # would silently multiply per-device HBM by model_parallel).
+        self._shard_params_fn = shard_params_fn
         if self.mesh is not None:
             if shard_params_fn is not None:
                 self.state = TrainState(
@@ -502,7 +508,11 @@ class MultimodalTrainer:
         if data.text_embeddings is not None:
             tree["text"] = data.text_embeddings
         if self.mesh is not None:
-            return jax.device_put(tree, replicated(self.mesh))
+            rep = replicated(self.mesh)
+            # put_global: plain device_put single-process; assembles from
+            # process-local copies on a multi-host mesh (where device_put
+            # would reject the non-addressable sharding).
+            return jax.tree.map(lambda x: put_global(x, rep), tree)
         return jax.tree.map(jnp.asarray, tree)
 
     def _epoch_indices(self, n: int, batch: int, shuffle: bool, accum: int):
@@ -512,7 +522,7 @@ class MultimodalTrainer:
         )
         if self.mesh is not None:
             rep = replicated(self.mesh)
-            return jax.device_put(perm, rep), jax.device_put(weights, rep), num_batches
+            return put_global(perm, rep), put_global(weights, rep), num_batches
         return jnp.asarray(perm), jnp.asarray(weights), num_batches
 
     def _materialize(self, data: StackedDataset, perm, weights):
@@ -533,7 +543,7 @@ class MultimodalTrainer:
             spec = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec(None, None, "data")
             )
-            return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+            return jax.tree.map(lambda x: put_global(x, spec), tree)
         return jax.tree.map(jnp.asarray, tree)
 
     # ------------------------------------------------------------------
@@ -593,9 +603,13 @@ class MultimodalTrainer:
 
     def validate_epoch(self) -> float:
         """One validation epoch; average per-micro-batch loss (reference :247-283)."""
-        perm, weights, num_batches = self._epoch_indices(
-            len(self.val_data), self.args.per_device_eval_batch_size, shuffle=False, accum=1
-        )
+        # The eval indices are deterministic (no shuffle, no rng draw): build
+        # and transfer them once instead of every epoch.
+        if not hasattr(self, "_val_indices"):
+            self._val_indices = self._epoch_indices(
+                len(self.val_data), self.args.per_device_eval_batch_size, shuffle=False, accum=1
+            )
+        perm, weights, num_batches = self._val_indices
         if self._device_resident:
             mse, _, _ = self._eval_fn(
                 self.state.trainable, self.frozen, self._val_device, perm[:, 0], weights[:, 0]
@@ -644,25 +658,32 @@ class MultimodalTrainer:
         if not self._device_resident:
             raise RuntimeError("train_epochs_fused requires the device-resident data path")
         accum = self.args.gradient_accumulation_steps
+        # Epoch index tensors are built on HOST and transferred once: going
+        # through _epoch_indices would device-put each epoch's arrays, stack
+        # them device-side, and re-put the stack — num_epochs+1 transfers for
+        # one (E, steps, accum, B) tensor.
         perms, weightss = [], []
         num_batches = None
         for _ in range(num_epochs):
-            p, w, num_batches = self._epoch_indices(
+            p, w, num_batches = build_epoch_indices(
                 len(self.train_data),
                 self.args.per_device_train_batch_size,
-                shuffle=True,
-                accum=accum,
+                True,
+                accum,
+                self._dp,
+                self._rng,
             )
             perms.append(p)
             weightss.append(w)
-        perm = jnp.stack(perms)
-        weights = jnp.stack(weightss)
+        perm_host, weights_host = np.stack(perms), np.stack(weightss)
         val_perm, val_weights, val_nb = self._epoch_indices(
             len(self.val_data), self.args.per_device_eval_batch_size, shuffle=False, accum=1
         )
         if self.mesh is not None:
             rep = replicated(self.mesh)
-            perm, weights = jax.device_put((perm, weights), rep)
+            perm, weights = put_global(perm_host, rep), put_global(weights_host, rep)
+        else:
+            perm, weights = jnp.asarray(perm_host), jnp.asarray(weights_host)
 
         carry0 = {
             "state": self.state,
@@ -732,7 +753,13 @@ class MultimodalTrainer:
         like = jax.device_get(self.state.trainable)
         restored = jax.tree.map(lambda ref, v: jnp.asarray(v, ref.dtype), like, checkpoint[key])
         if self.mesh is not None:
-            restored = jax.device_put(restored, replicated(self.mesh))
+            # Re-apply the ORIGINAL placement: a TP-sharded trainer restoring
+            # replicated would silently multiply per-device HBM by
+            # model_parallel and recompile without TP.
+            if self._shard_params_fn is not None:
+                restored = self._shard_params_fn(restored, self.mesh)
+            else:
+                restored = jax.device_put(restored, replicated(self.mesh))
         self.state = TrainState(restored, self.state.opt_state)
 
     def resume_from_checkpoint(self, path) -> None:
@@ -772,7 +799,10 @@ class MultimodalTrainer:
             loaded_opt = restructure_like(template, loaded_opt)
         opt_state = jax.tree.map(jnp.asarray, loaded_opt)
         if self.mesh is not None:
-            opt_state = jax.device_put(opt_state, replicated(self.mesh))
+            if self._shard_params_fn is not None:  # preserve TP placement
+                opt_state = self._shard_params_fn(opt_state, self.mesh)
+            else:
+                opt_state = jax.device_put(opt_state, replicated(self.mesh))
         self.state = TrainState(self.state.trainable, opt_state)
         self.start_epoch = checkpoint["epoch"] + 1
         self.current_epoch = self.start_epoch
@@ -813,6 +843,15 @@ class MultimodalTrainer:
         if self.args.eval_strategy != "epoch":
             raise NotImplementedError(
                 f"eval_strategy={self.args.eval_strategy!r} is not supported; only 'epoch' is implemented."
+            )
+        if self.args.save_strategy == "steps":
+            # Reference parity: its trainer also only saves for epoch/best
+            # (trainer.py:389), so the DEFAULT "steps" silently writes
+            # nothing — warn loudly instead of losing a run's checkpoints.
+            _logger.warning(
+                "save_strategy='steps' is accepted for config parity but not "
+                "implemented (the reference never saves under it either): NO "
+                "checkpoints will be written. Use 'epoch' or 'best'."
             )
 
         _logger.info("Starting %s training for %d epochs", self.mode, self.args.num_train_epochs)
@@ -889,6 +928,8 @@ class MultimodalTrainer:
                         step=gs,
                     )
                 else:
+                    # Reference parity: val/loss is logged even under
+                    # logging_strategy="no" (reference trainer.py:386-387).
                     self._wandb_run.log({"val/loss": val_loss}, step=gs)
 
         if improved:
@@ -939,6 +980,8 @@ class MultimodalTrainer:
                         step=self.global_step,
                     )
                 else:
+                    # Reference parity: val/loss is logged even under
+                    # logging_strategy="no" (reference trainer.py:386-387).
                     self._wandb_run.log({"val/loss": val_loss}, step=self.global_step)
 
             if self.args.save_strategy in ("epoch", "best"):

@@ -30,7 +30,10 @@ def test_param_specs_assignment():
     assert sx["ffn_up"]["bias"] == P(None, "model")
     assert sx["ffn_down"]["kernel"] == P(None, "model", None)
     assert sx["ffn_down"]["bias"] == P()
-    assert sx["attn"]["qkv"]["kernel"] == P(None, None, "model")
+    # fused qkv is replicated: its q/k/v slice boundaries only align with
+    # shard boundaries when mp % 3 == 0, so column-sharding it forces a
+    # per-layer all-gather of the qkv activation (review finding r3-late)
+    assert sx["attn"]["qkv"]["kernel"] == P()
     assert sx["attn"]["out"]["kernel"] == P(None, "model", None)
     assert sx["attn"]["per_dim_scale"] == P()
     assert sx["attn_norm"]["scale"] == P()
