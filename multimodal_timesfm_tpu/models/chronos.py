@@ -105,6 +105,13 @@ class Chronos2Config:
     remat: bool = False
     compute_dtype: Any = jnp.float32
 
+    def __post_init__(self):
+        # _relative_bucket's log branch divides by max_exact = num // 2 with
+        # num = buckets // 2: below 4 buckets that is a division by zero whose
+        # NaN indices the bias gather silently clamps to wrong buckets.
+        if self.rel_pos_buckets < 4:
+            raise ValueError(f"rel_pos_buckets must be >= 4, got {self.rel_pos_buckets}")
+
     @property
     def num_quantiles(self) -> int:
         return len(self.quantiles)
@@ -397,12 +404,16 @@ class Chronos2Adapter(TsfmAdapter):
         final_future_len = n_out * out_p
         future_time_enc = (
             jnp.arange(0, final_future_len, dtype=jnp.float32) / cfg.time_encoding_scale
-        ).reshape(1, n_out, out_p)
-        future_time_enc = jnp.broadcast_to(future_time_enc, (batch, n_out, out_p)).astype(dtype)
-        zeros = jnp.zeros((batch, n_out, out_p), dtype)
+        ).reshape(1, n_out, out_p).astype(dtype)
+        zeros = jnp.zeros((1, n_out, out_p), dtype)
         future_features = jnp.concatenate([future_time_enc, zeros, zeros], axis=-1)
-        future_embeds = L.residual_block(
-            params["input_patch_embedding"], future_features, act=L.relu
+        # The future rows are identical across the batch: embed ONCE at
+        # batch 1 and broadcast. Gradient-identical (broadcast's backward
+        # sums over batch) and removes a batch-factor of duplicate MLP FLOPs
+        # from the training hot path (B x mop rows -> mop rows).
+        future_embeds = jnp.broadcast_to(
+            L.residual_block(params["input_patch_embedding"], future_features, act=L.relu),
+            (batch, n_out, cfg.model_dim),
         )
 
         attention_mask = (~masks).astype(dtype)  # (B, Nc) 1.0 = valid

@@ -45,7 +45,13 @@ def _load_torch_bin(path: Path) -> dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+    # numpy has no bf16: .numpy() raises on bf16 checkpoints (common for
+    # modern exports). Upcast to fp32 — conversion casts to the template
+    # dtype anyway, and bf16->fp32 is exact.
+    return {
+        k: (v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy())
+        for k, v in sd.items()
+    }
 
 
 def load_backbone_checkpoint(path: Path, adapter: TsfmAdapter) -> Params:

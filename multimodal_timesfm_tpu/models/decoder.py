@@ -47,6 +47,24 @@ class MultimodalDecoder:
             "fusion": init_fusion(k_fusion, self.fusion_spec),
         }
 
+    def _encode(self, params: Params, inputs, masks, text_embeddings):
+        """Shared pipeline prefix: validate -> preprocess -> fuse -> forward.
+
+        Returns ``(output_embeddings, normalization_stats)`` for a
+        postprocess head to consume (point/full vs quantile).
+        """
+        if masks.shape != inputs.shape:
+            raise ValueError(f"masks shape {masks.shape} must match inputs shape {inputs.shape}")
+        masks = masks.astype(bool)
+        pre = self.adapter.preprocess(params["adapter"], inputs, masks)
+        embeddings = (
+            apply_fusion(params["fusion"], pre.input_embeddings, text_embeddings)
+            if text_embeddings is not None
+            else pre.input_embeddings
+        )
+        output_embeddings = self.adapter.forward(params["adapter"], embeddings, pre.masks)
+        return output_embeddings, pre.normalization_stats
+
     def forward_full(
         self,
         params: Params,
@@ -60,19 +78,8 @@ class MultimodalDecoder:
         Parity: reference ``decoder.py:38-72`` — fusion applies only when
         text embeddings are provided; masks must match the input shape.
         """
-        if masks.shape != inputs.shape:
-            raise ValueError(f"masks shape {masks.shape} must match inputs shape {inputs.shape}")
-        masks = masks.astype(bool)
-        pre = self.adapter.preprocess(params["adapter"], inputs, masks)
-        embeddings = (
-            apply_fusion(params["fusion"], pre.input_embeddings, text_embeddings)
-            if text_embeddings is not None
-            else pre.input_embeddings
-        )
-        output_embeddings = self.adapter.forward(params["adapter"], embeddings, pre.masks)
-        return self.adapter.postprocess(
-            params["adapter"], horizon, output_embeddings, pre.normalization_stats
-        )
+        output_embeddings, stats = self._encode(params, inputs, masks, text_embeddings)
+        return self.adapter.postprocess(params["adapter"], horizon, output_embeddings, stats)
 
     def forward_quantiles(
         self,
@@ -94,19 +101,8 @@ class MultimodalDecoder:
             raise NotImplementedError(
                 f"{type(self.adapter).__name__} has no quantile head; use forward_full"
             )
-        if masks.shape != inputs.shape:
-            raise ValueError(f"masks shape {masks.shape} must match inputs shape {inputs.shape}")
-        masks = masks.astype(bool)
-        pre = self.adapter.preprocess(params["adapter"], inputs, masks)
-        embeddings = (
-            apply_fusion(params["fusion"], pre.input_embeddings, text_embeddings)
-            if text_embeddings is not None
-            else pre.input_embeddings
-        )
-        output_embeddings = self.adapter.forward(params["adapter"], embeddings, pre.masks)
-        return postprocess_quantiles(
-            params["adapter"], horizon, output_embeddings, pre.normalization_stats
-        )
+        output_embeddings, stats = self._encode(params, inputs, masks, text_embeddings)
+        return postprocess_quantiles(params["adapter"], horizon, output_embeddings, stats)
 
     def __call__(
         self,

@@ -153,7 +153,9 @@ def timesfm_config_from_hf(hf: Mapping[str, Any], defaults=None):
     quantiles = _pick(hf, "quantiles")
     if quantiles is not None:
         cfg = dataclasses.replace(cfg, quantiles=tuple(quantiles))
-        if "num_output_channels" not in hf:
+        # None-aware like _pick everywhere else: an explicit null must not
+        # block the quantiles-derived channel count.
+        if _pick(hf, "num_output_channels") is None:
             cfg = dataclasses.replace(cfg, num_output_channels=1 + len(quantiles))
     return cfg
 

@@ -151,11 +151,11 @@ def _masked_softmax(q, k, valid):
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
     """One (batch*head) slice: fused softmax(QK^T + causal + padding) V.
 
-    ``valid_ref`` is the full (B*H, S) mask in VMEM (unblocked — TPU block
-    shapes need sublane-divisible leading dims); rows are selected by
-    program id.
+    ``valid_ref`` is this program's (1, S) block of the (B, S) mask — the
+    block index map folds the head dimension (``i // heads``), so the mask
+    is neither repeated per head in HBM nor resident whole in VMEM.
     """
-    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[pl.program_id(0)])
+    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0])
     o_ref[0] = jax.lax.dot_general(
         w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -173,7 +173,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_r
     """
     q = q_ref[0]
     k = k_ref[0]
-    w = _masked_softmax(q, k, valid_ref[pl.program_id(0)])
+    w = _masked_softmax(q, k, valid_ref[0])
 
     g32 = g_ref[0].astype(jnp.float32)
     v32 = v_ref[0].astype(jnp.float32)
@@ -209,9 +209,12 @@ def _unflatten_heads(x, batch, heads):
 
 def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False):
     batch, seq, heads, dim = q.shape
-    valid = jnp.repeat(key_valid.astype(jnp.float32), heads, axis=0)  # (B*H, S)
+    valid = key_valid.astype(jnp.float32)  # (B, S) — NOT repeated per head
     spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array, program-id indexed
+    # Each program reads only its batch row's mask block; the index map folds
+    # the head dim, so VMEM holds (1, S) instead of the full (B*H, S) array
+    # (which scaled with batch*heads and blew the budget at large B*H).
+    mask_spec = pl.BlockSpec((1, seq), lambda i: (i // heads, 0), memory_space=pltpu.VMEM)
 
     out_shape = [jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)] * num_outputs
     out_specs = [spec] * num_outputs
@@ -287,8 +290,6 @@ def flash_causal_attention(q, k, v, key_valid, interpret=False):
     differentiate must wrap the whole computation in
     ``pltpu.force_tpu_interpret_mode()``.
     """
-    import contextlib
-
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,

@@ -280,3 +280,21 @@ def test_failed_candidate_does_not_suppress_unused_warning(caplog):
     with caplog.at_level(logging.WARNING):
         convert_safetensors(sd, adapter)
     assert any(stray in rec.getMessage() for rec in caplog.records)
+
+
+def test_load_bin_bf16_checkpoint(tmp_path):
+    """bf16 pytorch_model.bin loads (numpy has no bf16; upcast is exact)."""
+    import torch
+
+    adapter = TimesFM2p5Adapter(TimesFMConfig.tiny())
+    sd, _ = _synthetic_state_dict(adapter, TIMESFM_NAME_RULES)
+    torch.save(
+        {k: torch.from_numpy(v).to(torch.bfloat16) for k, v in sd.items()},
+        tmp_path / "pytorch_model.bin",
+    )
+    params = load_backbone_checkpoint(tmp_path, adapter)
+    np.testing.assert_allclose(
+        np.asarray(params["tokenizer"]["hidden"]["kernel"]),
+        sd["tokenizer.hidden_layer.0.weight"].T,
+        atol=0.01,  # bf16 storage rounding
+    )

@@ -279,3 +279,28 @@ def test_hub_cache_prefers_weighted_revision_and_refs_main(tmp_path, monkeypatch
     (base / "refs" / "main").write_text("bbb")
     (new / "model.safetensors").write_bytes(b"y")
     assert resolve_snapshot_dir("org/m") == new  # refs/main pointer wins once usable
+
+
+def test_timesfm_config_null_num_output_channels():
+    """An explicit null num_output_channels must not block the
+    quantiles-derived channel count (review finding: presence check vs the
+    None-aware _pick used everywhere else)."""
+    from multimodal_timesfm_tpu.models.snapshot import timesfm_config_from_hf
+
+    cfg = timesfm_config_from_hf(
+        {"quantiles": [0.1, 0.5, 0.9], "num_output_channels": None}
+    )
+    assert cfg.num_output_channels == 4
+
+
+def test_chronos_config_rejects_tiny_rel_pos_buckets():
+    """rel_pos_buckets < 4 produces NaN bucket indices in _relative_bucket's
+    log branch — refused at construction (review finding)."""
+    import dataclasses
+
+    import pytest
+
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Config
+
+    with pytest.raises(ValueError, match="rel_pos_buckets"):
+        dataclasses.replace(Chronos2Config.tiny(), rel_pos_buckets=2)
