@@ -42,13 +42,14 @@ def _log(msg: str) -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: repeat bench runs skip the slow compile."""
-    import jax
+    """Persistent XLA compilation cache (shared helper; repo-local dir).
 
-    cache_dir = Path(__file__).parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    Delegates to ``utils/platform.enable_compile_cache`` so cache-behavior
+    fixes live in one place; keeps bench's historical repo-local cache dir.
+    """
+    from multimodal_timesfm_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(Path(__file__).parent / ".jax_cache")
 
 
 def _retry_or_exit(reason: str, sleep_fn=None, exec_fn=None) -> None:
@@ -850,19 +851,27 @@ def main() -> int:
         lead = next(n for n in names if "series_per_sec" in results[n])
     headline = results[lead]
 
+    # --tiny rewrites the geometry: the printed metric must carry the _tiny
+    # suffix and must NOT be compared against the full-geometry baseline —
+    # otherwise the artifact masquerades as a real headline run.
     baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
     vs_baseline = None
-    if baseline_file.exists():
+    if baseline_file.exists() and not args.tiny:
         ref = json.loads(baseline_file.read_text()).get("torch_cpu_series_per_sec")
         if ref:
             vs_baseline = headline["series_per_sec"] / ref
 
+    metric = (
+        "timemmd_multimodal_finetune_series_per_sec"
+        if lead == HEADLINE
+        else f"timemmd_{lead}_series_per_sec"
+    )
+    if args.tiny:
+        metric += "_tiny"
     print(
         json.dumps(
             {
-                "metric": "timemmd_multimodal_finetune_series_per_sec"
-                if lead == HEADLINE
-                else f"timemmd_{lead}_series_per_sec",
+                "metric": metric,
                 "value": headline["series_per_sec"],
                 "unit": "series/sec",
                 "vs_baseline": round(vs_baseline, 2)

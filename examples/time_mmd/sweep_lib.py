@@ -389,8 +389,13 @@ def train_and_evaluate_many(
         # batch order (the per-trial variation is purely the hyperparams).
         # Staged directly onto the mesh shards when sharded — a group sized by
         # the per-device budget times dp must never be stacked on one device.
+        # The device-resident init buffer is dropped first (pop + host copy):
+        # keeping the original ~trainable_bytes device array alive through the
+        # group's training would erode the activation headroom the budget
+        # guard just validated.
+        trainable_host = jax.tree.map(np.asarray, params.pop(trainable_key))
         inits = replicate_trainables(
-            params[trainable_key],
+            trainable_host,
             len(group),
             trial_sharding(group_mesh) if group_mesh is not None else None,
         )
