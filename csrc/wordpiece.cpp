@@ -217,7 +217,10 @@ void* wp_create(const char* vocab_text) {
       else if (token == "[UNK]") v->unk = idx;
       else if (token == "[CLS]") v->cls = idx;
       else if (token == "[SEP]") v->sep = idx;
-      v->map.emplace(std::move(token), idx);
+      // assignment (not emplace): duplicate vocab tokens resolve
+      // last-occurrence-wins, matching the Python tokenizer's dict load
+      // (and HF BertTokenizer's load_vocab)
+      v->map[std::move(token)] = idx;
       ++idx;
     } else if (end < sv.size()) {
       ++idx;  // preserve line numbering for empty lines

@@ -62,6 +62,11 @@ class Forecaster:
             self._batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data")
             )
+        else:
+            # Commit params to device ONCE: checkpoint-loaded weights arrive
+            # as host numpy, and leaving them uncommitted re-uploads the full
+            # backbone on every jitted dispatch (~0.8GB/batch at 200M).
+            params = jax.tree.map(jnp.asarray, params)
         from collections import OrderedDict
 
         self.params = params

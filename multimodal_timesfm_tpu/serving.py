@@ -119,7 +119,7 @@ _PARAMS_FILE = "params.npz"
 _MANIFEST_FILE = "manifest.json"
 
 
-def _flatten_params(params: Params) -> tuple[dict, dict, dict]:
+def _flatten_params(params: Params, with_bytes: bool = True) -> tuple[dict, dict, dict]:
     """Flatten a dict/list pytree of arrays into npz-safe flat leaves.
 
     Returns ``(leaves, leaf_spec, list_lens)``: raw-byte views keyed by
@@ -173,10 +173,18 @@ def _flatten_params(params: Params) -> tuple[dict, dict, dict]:
             for i, v in enumerate(node):
                 walk(prefix + (str(i),), v)
         else:
-            arr = np.asarray(node)
             name = "/".join(prefix)
-            leaves[name] = np.frombuffer(arr.tobytes(), np.uint8)
-            leaf_spec[name] = {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+            if with_bytes:
+                arr = np.asarray(node)
+                leaves[name] = np.frombuffer(arr.tobytes(), np.uint8)
+                leaf_spec[name] = {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+            else:
+                # spec-only pass (validation before an expensive trace): no
+                # host byte copies of the full param set are materialized.
+                leaf_spec[name] = {
+                    "shape": list(jnp.shape(node)),
+                    "dtype": str(np.dtype(getattr(node, "dtype", None) or np.result_type(node))),
+                }
 
     walk((), params)
     return leaves, leaf_spec, list_lens
@@ -328,10 +336,10 @@ def export_stablehlo(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), np.dtype(getattr(x, "dtype", None) or np.result_type(x))),
         params,
     )
-    # Flatten (and refuse lossy containers) BEFORE the expensive trace — a
-    # tree that can't round-trip must not cost a lowering or leave a partial
-    # artifact directory behind.
-    leaves, leaf_spec, list_lens = _flatten_params(params)
+    # Validate the tree's structure (refusing lossy containers) BEFORE the
+    # expensive trace — spec-only, so no raw-byte copy of the full param set
+    # is held through the minutes-long lowering; bytes are extracted after.
+    _flatten_params(params, with_bytes=False)
 
     (b,) = jax_export.symbolic_shape("b")
     specs = [param_specs, jax.ShapeDtypeStruct((b, context_len), jnp.float32)]
@@ -343,6 +351,7 @@ def export_stablehlo(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     (output_dir / _STABLEHLO_FILE).write_bytes(exported.serialize())
+    leaves, leaf_spec, list_lens = _flatten_params(params)
     _write_npz_atomic(output_dir / _PARAMS_FILE, leaves)
     (output_dir / _MANIFEST_FILE).write_text(json.dumps({
         "format": "jax.export.stablehlo",

@@ -74,6 +74,12 @@ class NativeWordPiece:
         self._handle = lib.wp_create(vocab_text.encode("utf-8"))
 
     def encode(self, text: str, max_length: int = 256) -> list[int]:
+        # The C ABI is NUL-terminated (no byte-length parameter), so an
+        # embedded NUL would truncate the input there. The Python tokenizer's
+        # _clean DROPS NULs and continues — stripping them first keeps the
+        # two paths id-identical.
+        if "\x00" in text:
+            text = text.replace("\x00", "")
         buf = (ctypes.c_int32 * max_length)()
         n = self._lib.wp_encode(self._handle, text.encode("utf-8"), max_length, buf)
         return list(buf[:n])

@@ -78,9 +78,26 @@ def main() -> int:
         from multimodal_timesfm_tpu.training.checkpoint import load_checkpoint
 
         checkpoint = load_checkpoint(Path(args.fusion_checkpoint))
-        key = "fusion_params" if "fusion_params" in checkpoint else "adapter_params"
-        params["fusion" if key == "fusion_params" else "adapter"] = checkpoint[key]
-        _logger.info("Loaded %s from %s", key, args.fusion_checkpoint)
+        # Apply EVERY trained subtree the checkpoint carries (same semantics
+        # as scripts/forecast.py) — picking one would silently export stale
+        # weights for the other; neither key is a usage error worth guessing
+        # around.
+        applied = False
+        if "fusion_params" in checkpoint:
+            params["fusion"] = checkpoint["fusion_params"]
+            _logger.info("Loaded fusion params from %s", args.fusion_checkpoint)
+            applied = True
+        if "adapter_params" in checkpoint:
+            params["adapter"] = checkpoint["adapter_params"]
+            _logger.info("Loaded adapter params from %s", args.fusion_checkpoint)
+            applied = True
+        if not applied:
+            _logger.error(
+                "%s carries neither fusion_params nor adapter_params — is it a "
+                "training checkpoint? (raw params pytrees load via --pretrained-dir)",
+                args.fusion_checkpoint,
+            )
+            return 1
 
     export = export_saved_model if args.format == "savedmodel" else export_stablehlo
     export(

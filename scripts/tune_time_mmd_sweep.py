@@ -124,6 +124,13 @@ def main(mode: str = MODE) -> int:
         # Baseline mode vectorizes too when the trial count fits the device
         # budget (each baseline trial carries 5 fp32 copies of the backbone;
         # sweep_lib raises with the computed budget when it doesn't fit).
+        if getattr(args, "sweep_id", None):
+            _logger.error(
+                "--vectorized runs a LOCAL sweep engine and cannot contribute "
+                "trials to W&B sweep %s — drop --sweep-id or --vectorized.",
+                args.sweep_id,
+            )
+            return 1
         if not args.sweep_config:
             _logger.error("--sweep-config is required for --vectorized.")
             return 1

@@ -425,3 +425,23 @@ def test_vectorized_sweep_observes_and_continues_numbering(
     ]
     ids = {r["run_id"] for r in rows}
     assert {"local-0", "local-1"} <= ids
+
+
+def test_vectorized_rejects_sweep_id(tmp_path, monkeypatch):
+    """--vectorized runs the LOCAL engine; silently ignoring --sweep-id would
+    leave the requested W&B sweep without the contributed trials (review
+    finding) — refuse loudly instead."""
+    import scripts.tune_time_mmd_sweep as sweep_mod
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "tune",
+            "--sweep-id", "abc123",
+            "--sweep-config", str(tmp_path / "s.yml"),
+            "--vectorized", "--offline",
+            "--output-dir", str(tmp_path / "out"),
+        ],
+    )
+    assert sweep_mod.main() == 1

@@ -120,3 +120,29 @@ def test_native_fuzz_vs_python_on_parity_domain(vocab_file, native_available):
     for _ in range(300):
         text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
         assert native.encode(text) == py.encode(text), repr(text)
+
+
+def test_embedded_nul_matches_python(vocab_file, native_available):
+    """Embedded NUL bytes: the C ABI is strlen-terminated, so the binding
+    strips them first — the Python _clean drops them too, keeping both paths
+    id-identical (review finding: native silently truncated at the NUL)."""
+    nat = NativeWordPiece(vocab_file)
+    py = WordPieceTokenizer(vocab_file, use_native=False)
+    text = "the quick\x00 brown fox"
+    assert nat.encode(text) == py.encode(text)
+    # sanity: tokens AFTER the NUL are present
+    assert py.vocab["fox"] in nat.encode(text)
+
+
+def test_duplicate_vocab_token_last_wins(tmp_path, native_available):
+    """Duplicate vocab lines resolve last-occurrence-wins in BOTH paths
+    (review finding: C++ emplace kept the first; Python dict keeps the last,
+    matching HF load_vocab)."""
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "fox", "the", "fox"]
+    p = tmp_path / "dup_vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    py = WordPieceTokenizer(p, use_native=False)
+    assert py.vocab["fox"] == 6  # last occurrence
+    nat = NativeWordPiece(p)
+    assert nat.encode("fox") == py.encode("fox")
+    assert py.vocab["fox"] in nat.encode("fox")
