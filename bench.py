@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -130,9 +131,15 @@ def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384)
     o, q = cfg.output_patch_len, cfg.num_output_channels
     tokenizer = 2 * n * (2 * p * md + md * md + 2 * p * md)
     # n == 1: the seq==1 attention path computes only the v projection
-    # (q/k are dead compute there — models/layers.causal_attention), so the
-    # attention GEMMs are v+out (4*md*md) instead of qkv+out (8*md*md).
-    attn_gemms = 4 * md * md if n == 1 else 8 * md * md
+    # (q/k are dead compute there — models/layers.causal_attention). In
+    # multimodal mode the trainer additionally folds the frozen v+out
+    # projections into ONE (md, md) GEMM (fold_seq1_attention, on by
+    # default), so the required per-layer attention FLOPs are 2*md*md there;
+    # baseline mode trains the factors and keeps v+out (4*md*md).
+    if n == 1:
+        attn_gemms = 2 * md * md if mode == "multimodal" else 4 * md * md
+    else:
+        attn_gemms = 8 * md * md
     stack = cfg.num_layers * (n * (attn_gemms + 4 * md * ffn) + 4 * n * n * md)
     # The head projects only the LAST patch (the only one returned).
     head = 2 * (md * md + 2 * md * o * q)
@@ -298,6 +305,9 @@ def build_trainer(
         # XLA already de-duplicates the fp32->bf16 weight casts. Left off to
         # keep the recorded numerics the fp32-backward ones; the trainer
         # feature remains available (docs/PERF.md).
+        # A/B knob: MTT_BENCH_NO_FOLD=1 disables the frozen seq==1 v+out
+        # attention fold (trainer default: on) to measure its contribution.
+        fold_frozen_seq1=not bool(int(os.environ.get("MTT_BENCH_NO_FOLD", "0"))),
     )
     return trainer, cfg
 

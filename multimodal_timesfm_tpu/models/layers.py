@@ -229,6 +229,17 @@ def causal_attention(
     )
 
     batch, seq, _ = x.shape
+    if "vo" in params:
+        # Folded frozen attention (fold_seq1_attention): at seq==1 the whole
+        # block collapses to one (D, D) GEMM. Valid ONLY at a single causal
+        # position — the fold pre-multiplied softmax-identity semantics in.
+        if seq != 1:
+            raise ValueError(
+                f"attention params were folded for seq==1 (fold_seq1_attention) "
+                f"but got seq={seq}; rebuild the model with unfolded params for "
+                "multi-token contexts"
+            )
+        return dense(params["vo"], x)
     if seq == 1:
         # Single causal position: softmax over one key is identity, so
         # attention output == v and the q/k projections are dead compute —
@@ -266,6 +277,45 @@ def causal_attention(
         out = xla_causal_attention(q, k, v, key_valid)
     out = out.reshape(batch, seq, num_heads * head_dim).astype(x.dtype)
     return dense(params["out"], out)
+
+
+def fold_seq1_attention(stacked: Params) -> Params:
+    """Fold each layer's frozen attention into one (D, D) matrix for seq==1.
+
+    At a single causal position the softmax runs over one key, so attention
+    output == v exactly and the block is ``out(v(x)) = x @ (Wv @ Wo) + (bv @
+    Wo + bo)`` — two back-to-back linear maps with nothing between them. For
+    a FROZEN backbone (multimodal mode trains only the fusion MLP) the
+    product can be taken once per run in fp32, halving the attention GEMM
+    FLOPs AND weight HBM reads in forward and the input-grad backward on the
+    reference-default 32/32 workload (1 patch token — the headline bench
+    path). Invalid for training the backbone (the factors are the trainable
+    parameters) and for seq > 1 (``causal_attention`` raises).
+
+    Args:
+        stacked: a ``stacked_xf`` pytree from ``init_stacked_layers`` —
+            every leaf carries a leading layer axis.
+
+    Returns:
+        A new stacked tree where each layer's ``attn`` is ``{"vo": dense}``;
+        ``qkv``/``out``/``per_dim_scale`` (dead at seq==1: the query scale
+        only feeds the softmax, which is constant) are dropped.
+    """
+    attn = stacked["attn"]
+    out_kernel = attn["out"]["kernel"]  # (L, H*D, md)
+    hd = out_kernel.shape[1]
+    wv = attn["qkv"]["kernel"][:, :, 2 * hd :]  # (L, md, H*D)
+    vo: Params = {"kernel": jnp.einsum("ldh,lhm->ldm", wv, out_kernel)}
+    bias = attn["out"].get("bias")
+    if "bias" in attn["qkv"]:
+        bv = attn["qkv"]["bias"][:, 2 * hd :]  # (L, H*D)
+        folded_bv = jnp.einsum("lh,lhm->lm", bv, out_kernel)
+        bias = folded_bv if bias is None else bias + folded_bv
+    if bias is not None:
+        vo["bias"] = bias
+    folded = dict(stacked)
+    folded["attn"] = {"vo": vo}
+    return folded
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ import optax
 from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
 from multimodal_timesfm_tpu.models.base import Params
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
+from multimodal_timesfm_tpu.models.layers import fold_seq1_attention
 from multimodal_timesfm_tpu.parallel.mesh import put_global, replicated
 from multimodal_timesfm_tpu.training.checkpoint import (
     load_checkpoint,
@@ -148,6 +149,7 @@ class MultimodalTrainer:
         trainable_cast_dtype=None,
         ckpt_backend: str = "pickle",
         fuse_epochs: bool | None = None,
+        fold_frozen_seq1: bool = True,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
@@ -173,7 +175,19 @@ class MultimodalTrainer:
 
         ``fuse_epochs``: None (default) lets ``train()`` pick the fused
         one-dispatch multi-epoch path whenever it is applicable
-        (``fused_epochs_supported``); False forces the per-epoch loop."""
+        (``fused_epochs_supported``); False forces the per-epoch loop.
+
+        ``fold_frozen_seq1`` (default True): in multimodal mode with a
+        single patch token (context_len == patch_len, the reference-default
+        32/32 geometry), pre-multiply each FROZEN layer's attention v/out
+        projections into one matrix (``models/layers.fold_seq1_attention``)
+        — exact at seq==1, ~25% fewer backbone GEMM FLOPs per step. The fold
+        lives in the trainer's frozen tree only; checkpoints (trainable
+        subtree) are unaffected, but ``trainer.params`` then assembles a
+        seq==1-only adapter (``causal_attention`` raises loudly on longer
+        contexts). Skipped automatically under tensor parallelism
+        (``shard_params_fn``), whose sharding rules key on the qkv/out
+        factor names."""
         self.model = model
         self.args = args
         self.mode = mode
@@ -204,6 +218,28 @@ class MultimodalTrainer:
 
         # --- params partition: trainable subtree vs frozen remainder ---
         self.frozen = {k: v for k, v in params.items() if k != self.trainable_key}
+        self._folded_seq1 = False
+        if (
+            fold_frozen_seq1
+            and multimodal
+            and shard_params_fn is None  # TP sharding rules key on qkv/out names
+            and isinstance(self.frozen.get("adapter"), dict)
+            and "stacked_xf" in self.frozen["adapter"]
+            and self.train_data.context.shape[1] == model.adapter.patch_len
+            and self.val_data.context.shape[1] == model.adapter.patch_len
+        ):
+            # One patch token end-to-end: fold each frozen layer's attention
+            # v+out projections into a single (D, D) matrix (fp32, once per
+            # run) — softmax over one key is the identity, so the fold is
+            # exact. Saves ~25% of the backbone's GEMM FLOPs and weight reads
+            # per step on the reference-default 32/32 geometry (the two md x md
+            # attention GEMMs of the eight per layer become one); the fused
+            # fold product replaces qkv/out in the frozen tree only — saved
+            # checkpoints carry the trainable subtree and are unaffected.
+            adapter = dict(self.frozen["adapter"])
+            adapter["stacked_xf"] = fold_seq1_attention(adapter["stacked_xf"])
+            self.frozen["adapter"] = adapter
+            self._folded_seq1 = True
         if frozen_cast_dtype is not None:
             self.frozen = jax.tree.map(
                 lambda x: x.astype(frozen_cast_dtype)

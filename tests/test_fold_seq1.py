@@ -1,0 +1,144 @@
+"""fold_seq1_attention: frozen v+out folding for single-patch-token training.
+
+At seq==1 causal attention is the identity over one key, so the block is two
+back-to-back linear maps; the trainer pre-multiplies them for the FROZEN
+backbone in multimodal mode (the reference-default 32/32 geometry — the
+headline bench path). These tests pin exactness, the loud seq>1 failure, and
+the trainer gating.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_timesfm_tpu.data.dataset import PreprocessedDataset
+from multimodal_timesfm_tpu.models import layers as L
+from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
+from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
+from multimodal_timesfm_tpu.training_args import TrainingArguments
+from multimodal_timesfm_tpu.types import PreprocessedSample
+
+CONTEXT, HORIZON, TEXT_DIMS = 4, 8, 6  # patch_len 4 -> ONE patch token
+
+
+def _samples(n, seed, with_text=True):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        s = PreprocessedSample(
+            context=rng.normal(size=CONTEXT).astype(np.float32),
+            horizon=rng.normal(size=HORIZON).astype(np.float32),
+            metadata={"i": i},
+        )
+        if with_text:
+            s["text_embeddings"] = rng.normal(size=(1, TEXT_DIMS)).astype(np.float32)
+        out.append(s)
+    return out
+
+
+def _decoder():
+    return MultimodalDecoder(
+        TimesFM2p5Adapter(TimesFMConfig.tiny()),
+        MultimodalDecoderConfig(text_embedding_dims=TEXT_DIMS),
+    )
+
+
+def _args(tmp_path, **kw):
+    defaults = dict(
+        output_dir=str(tmp_path / "out"),
+        per_device_train_batch_size=8,
+        per_device_eval_batch_size=8,
+        num_train_epochs=2,
+        learning_rate=1e-2,
+        eval_strategy="epoch",
+        save_strategy="no",
+        logging_strategy="epoch",
+        seed=0,
+    )
+    defaults.update(kw)
+    return TrainingArguments(**defaults)
+
+
+def _trainer(tmp_path, mode="multimodal", fold=True, context=CONTEXT, **args_kw):
+    decoder = _decoder()
+    params = decoder.init(jax.random.key(0))
+    with_text = mode == "multimodal"
+    rng = np.random.default_rng(3)
+    samples = _samples(16, 0, with_text) + _samples(8, 1, with_text)
+    if context != CONTEXT:  # widen the windows for the gating test
+        for s in samples:
+            s["context"] = rng.normal(size=context).astype(np.float32)
+            if with_text:
+                s["text_embeddings"] = rng.normal(size=(context // 4, TEXT_DIMS)).astype(
+                    np.float32
+                )
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=_args(tmp_path, **args_kw),
+        train_dataset=PreprocessedDataset(samples[:16], mode),
+        val_dataset=PreprocessedDataset(samples[16:], mode),
+        mode=mode,
+        fold_frozen_seq1=fold,
+    )
+    return decoder, params, trainer
+
+
+def test_folded_forward_matches_unfolded_exactly_at_seq1():
+    cfg = TimesFMConfig.tiny()
+    stacked = L.init_stacked_layers(
+        jax.random.key(1), cfg.num_layers, cfg.model_dims, cfg.num_heads, cfg.head_dim, cfg.ffn_dims
+    )
+    # make biases nonzero so the bias fold is actually exercised
+    stacked = jax.tree.map(
+        lambda x: x + 0.01 if x.ndim <= 2 else x, stacked
+    )
+    folded = L.fold_seq1_attention(stacked)
+    x = jax.random.normal(jax.random.key(2), (8, 1, cfg.model_dims), jnp.float32)
+    pad = jnp.zeros((8, 1), bool)
+    ref = L.stacked_transformer(stacked, x, pad, cfg.num_heads, cfg.head_dim)
+    got = L.stacked_transformer(folded, x, pad, cfg.num_heads, cfg.head_dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_attention_raises_beyond_one_token():
+    cfg = TimesFMConfig.tiny()
+    stacked = L.init_stacked_layers(
+        jax.random.key(1), cfg.num_layers, cfg.model_dims, cfg.num_heads, cfg.head_dim, cfg.ffn_dims
+    )
+    folded = L.fold_seq1_attention(stacked)
+    x = jnp.zeros((2, 3, cfg.model_dims), jnp.float32)
+    pad = jnp.zeros((2, 3), bool)
+    with pytest.raises(ValueError, match="folded for seq==1"):
+        L.stacked_transformer(folded, x, pad, cfg.num_heads, cfg.head_dim)
+
+
+def test_trainer_folds_and_matches_unfolded_trajectory(tmp_path):
+    _, _, folded = _trainer(tmp_path / "a", fold=True)
+    _, _, plain = _trainer(tmp_path / "b", fold=False)
+    assert folded._folded_seq1 and not plain._folded_seq1
+    assert "vo" in folded.frozen["adapter"]["stacked_xf"]["attn"]
+    assert "qkv" in plain.frozen["adapter"]["stacked_xf"]["attn"]
+    folded.train()
+    plain.train()
+    # identical data/seed; the fold reassociates one fp32 matmul chain
+    np.testing.assert_allclose(
+        np.asarray(folded.best_val_loss), np.asarray(plain.best_val_loss), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        folded.state.trainable,
+        plain.state.trainable,
+    )
+
+
+def test_fold_gating(tmp_path):
+    # baseline mode trains the factors: never folded
+    _, _, t = _trainer(tmp_path / "bl", mode="baseline", fold=True)
+    assert not t._folded_seq1
+    # multi-token contexts: not foldable
+    _, _, t = _trainer(tmp_path / "wide", fold=True, context=8)
+    assert not t._folded_seq1
+    assert "qkv" in t.frozen["adapter"]["stacked_xf"]["attn"]
