@@ -20,6 +20,7 @@ from examples.time_mmd.cross_validation import DomainSpec, load_fold_datasets
 from multimodal_timesfm_tpu.models.base import TsfmAdapter
 from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
+from multimodal_timesfm_tpu.models.layers import fold_frozen_tree_seq1
 from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
 from multimodal_timesfm_tpu.training.checkpoint import load_checkpoint
 from multimodal_timesfm_tpu.training.evaluator import MultimodalEvaluator
@@ -350,6 +351,17 @@ def train_and_evaluate_many(
         )
         params = init_decoder_params(decoder, pretrained_dir, training_args.seed or 0)
         frozen = {k: v for k, v in params.items() if k != trainable_key}
+        if multimodal and forecast_config.context_len == model_config.adapter.patch_len:
+            # One patch token end-to-end (the reference-default 32/32 sweep
+            # geometry): fold each frozen layer's attention v+out projections
+            # into one (D, D) matrix — exact at seq==1, same ~25% backbone-GEMM
+            # saving the sequential trainer takes (models/layers.py
+            # fold_frozen_tree_seq1; None for non-TimesFM trees). The fold is
+            # shared across every trial in the group AND the vectorized eval,
+            # which consume the same context width.
+            folded = fold_frozen_tree_seq1(frozen)
+            if folded is not None:
+                frozen = folded
 
         # Shard the trial axis over the mesh when the group divides evenly;
         # otherwise run the group single-device (trials stay correct either way).

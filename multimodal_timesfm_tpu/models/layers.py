@@ -318,6 +318,27 @@ def fold_seq1_attention(stacked: Params) -> Params:
     return folded
 
 
+def fold_frozen_tree_seq1(frozen: Params) -> Params | None:
+    """Apply :func:`fold_seq1_attention` to a frozen params *tree*.
+
+    Folds ``frozen["adapter"]["stacked_xf"]`` when the tree is TimesFM-shaped
+    (a stacked scanned layer stack lives under the adapter); returns ``None``
+    for any other shape (e.g. a Chronos adapter tree) so callers can gate the
+    fold structurally without knowing the backbone. Geometry gating — every
+    context the tree will see must be exactly one patch token — remains the
+    CALLER's responsibility (``MultimodalTrainer`` and the vectorized sweep
+    driver both check context_len == patch_len before calling).
+    """
+    adapter = frozen.get("adapter")
+    if not (isinstance(adapter, dict) and "stacked_xf" in adapter):
+        return None
+    adapter = dict(adapter)
+    adapter["stacked_xf"] = fold_seq1_attention(adapter["stacked_xf"])
+    out = dict(frozen)
+    out["adapter"] = adapter
+    return out
+
+
 # ---------------------------------------------------------------------------
 # transformer layer & stacked (scanned) layers
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ import optax
 from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
 from multimodal_timesfm_tpu.models.base import Params
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
-from multimodal_timesfm_tpu.models.layers import fold_seq1_attention
+from multimodal_timesfm_tpu.models.layers import fold_frozen_tree_seq1
 from multimodal_timesfm_tpu.parallel.mesh import put_global, replicated
 from multimodal_timesfm_tpu.training.checkpoint import (
     load_checkpoint,
@@ -223,8 +223,6 @@ class MultimodalTrainer:
             fold_frozen_seq1
             and multimodal
             and shard_params_fn is None  # TP sharding rules key on qkv/out names
-            and isinstance(self.frozen.get("adapter"), dict)
-            and "stacked_xf" in self.frozen["adapter"]
             and self.train_data.context.shape[1] == model.adapter.patch_len
             and self.val_data.context.shape[1] == model.adapter.patch_len
         ):
@@ -236,10 +234,10 @@ class MultimodalTrainer:
             # attention GEMMs of the eight per layer become one); the fused
             # fold product replaces qkv/out in the frozen tree only — saved
             # checkpoints carry the trainable subtree and are unaffected.
-            adapter = dict(self.frozen["adapter"])
-            adapter["stacked_xf"] = fold_seq1_attention(adapter["stacked_xf"])
-            self.frozen["adapter"] = adapter
-            self._folded_seq1 = True
+            folded = fold_frozen_tree_seq1(self.frozen)
+            if folded is not None:  # None: non-TimesFM (e.g. Chronos) tree
+                self.frozen = folded
+                self._folded_seq1 = True
         if frozen_cast_dtype is not None:
             self.frozen = jax.tree.map(
                 lambda x: x.astype(frozen_cast_dtype)

@@ -134,6 +134,69 @@ def test_trainer_folds_and_matches_unfolded_trajectory(tmp_path):
     )
 
 
+def _stacked_dict(samples):
+    from multimodal_timesfm_tpu.data.collate import StackedDataset
+
+    d = StackedDataset(
+        context=np.stack([s["context"] for s in samples]),
+        horizon=np.stack([s["horizon"] for s in samples]),
+        text_embeddings=np.stack([s["text_embeddings"] for s in samples]),
+        metadata=[{}] * len(samples),
+    )
+    return {"context": d.context, "horizon": d.horizon, "text": d.text_embeddings}
+
+
+def test_vectorized_trials_fold_matches_unfolded():
+    """The sweep driver's frozen-tree fold reproduces the unfolded trials."""
+    from multimodal_timesfm_tpu.training.vectorized import (
+        evaluate_vectorized,
+        run_vectorized_trials,
+        stack_trainables,
+    )
+
+    decoder = _decoder()
+    params = decoder.init(jax.random.key(0))
+    frozen = {k: v for k, v in params.items() if k != "fusion"}
+    folded = L.fold_frozen_tree_seq1(frozen)
+    assert folded is not None
+    assert "vo" in folded["adapter"]["stacked_xf"]["attn"]
+    train_d = _stacked_dict(_samples(16, 0))
+    val_d = _stacked_dict(_samples(8, 1))
+    def inits():  # run_vectorized_trials donates the init buffers
+        return jax.tree.map(np.asarray, stack_trainables([params["fusion"]] * 2))
+
+    hp = {
+        "learning_rate": np.asarray([1e-2, 3e-3]),
+        "weight_decay": np.asarray([0.01, 0.0]),
+        "warmup_steps": np.asarray([1.0, 0.0]),
+    }
+    kw = dict(horizon_len=HORIZON, batch_size=8, num_epochs=2, scheduler="linear", seed=0)
+    ref = run_vectorized_trials(decoder, frozen, inits(), train_d, val_d, hp, **kw)
+    got = run_vectorized_trials(decoder, folded, inits(), train_d, val_d, hp, **kw)
+    np.testing.assert_allclose(got.val_losses, ref.val_losses, rtol=1e-5)
+    np.testing.assert_allclose(got.best_val, ref.best_val, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        got.best_trainable,
+        ref.best_trainable,
+    )
+    test_d = _stacked_dict(_samples(8, 2))
+    mse_r, mae_r = evaluate_vectorized(
+        decoder, frozen, ref.best_trainable, test_d, horizon_len=HORIZON, batch_size=8
+    )
+    mse_f, mae_f = evaluate_vectorized(
+        decoder, folded, ref.best_trainable, test_d, horizon_len=HORIZON, batch_size=8
+    )
+    np.testing.assert_allclose(mse_f, mse_r, rtol=1e-5)
+    np.testing.assert_allclose(mae_f, mae_r, rtol=1e-5)
+
+
+def test_fold_frozen_tree_returns_none_for_non_timesfm_shapes():
+    # Chronos-shaped adapter tree (no stacked_xf) and a fusion-only tree
+    assert L.fold_frozen_tree_seq1({"adapter": {"encoder": {}}}) is None
+    assert L.fold_frozen_tree_seq1({"other": 1}) is None
+
+
 def test_fold_gating(tmp_path):
     # baseline mode trains the factors: never folded
     _, _, t = _trainer(tmp_path / "bl", mode="baseline", fold=True)
