@@ -329,7 +329,9 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # measured consistently faster than 1024 on v5e (144.1k vs 128.2k
     # back-to-back, r2); 4096 measured a dead heat at steady state
     # (180.68k vs 180.66k, r3) — the GEMMs already run ~85% of peak at 2048
-    # (docs/PERF.md), so larger batches only add latency.
+    # (docs/PERF.md), so larger batches only add latency. Re-checked after
+    # the seq==1 fold shifted the compute balance: 4096 regresses (242.6k
+    # vs 267.2k same-session, r4) — 2048 remains the optimum.
     "timesfm_mm_c32": ("timesfm", 32, 32, 2048, 131072, 3, "multimodal"),
     # Reference "baseline" mode: full 200M-backbone fine-tune. Large batch:
     # the epoch is dominated by AdamW update HBM traffic (~200M params x
