@@ -205,3 +205,28 @@ def test_fold_gating(tmp_path):
     _, _, t = _trainer(tmp_path / "wide", fold=True, context=8)
     assert not t._folded_seq1
     assert "qkv" in t.frozen["adapter"]["stacked_xf"]["attn"]
+
+
+def test_fold_skipped_under_tensor_parallel_sharding(tmp_path):
+    """TP sharding rules key on qkv/out factor names: the fold must yield."""
+    from multimodal_timesfm_tpu.parallel.mesh import MeshConfig, make_mesh
+    from multimodal_timesfm_tpu.parallel.sharding import shard_params
+
+    decoder = _decoder()
+    params = decoder.init(jax.random.key(0))
+    samples = _samples(16, 0)
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    trainer = MultimodalTrainer(
+        model=decoder,
+        params=params,
+        args=_args(tmp_path),
+        train_dataset=PreprocessedDataset(samples[:12], "multimodal"),
+        val_dataset=PreprocessedDataset(samples[12:], "multimodal"),
+        mode="multimodal",
+        mesh=mesh,
+        shard_params_fn=shard_params,
+        fold_frozen_seq1=True,
+    )
+    assert not trainer._folded_seq1
+    assert "qkv" in trainer.frozen["adapter"]["stacked_xf"]["attn"]
+    trainer.train_epoch()  # TP program still compiles and runs unfolded
