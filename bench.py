@@ -124,8 +124,17 @@ def _check_backend_reachable() -> None:
 # ---------------------------------------------------------------------------
 
 
-def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384) -> float:
-    """Training FLOPs/series: fwd + input-grad path (frozen backbone) or +dW."""
+def timesfm_flops_per_series(
+    cfg, context: int, mode: str, text_dims: int = 384, fold: bool | None = None
+) -> float:
+    """Training FLOPs/series: fwd + input-grad path (frozen backbone) or +dW.
+
+    ``fold`` mirrors the trainer's ``fold_frozen_seq1`` so the denominator
+    matches the program actually measured; None resolves from the same
+    MTT_BENCH_NO_FOLD A/B knob build_trainer uses.
+    """
+    if fold is None:
+        fold = not bool(int(os.environ.get("MTT_BENCH_NO_FOLD", "0")))
     n = context // cfg.input_patch_len
     p, md, ffn = cfg.input_patch_len, cfg.model_dims, cfg.ffn_dims
     o, q = cfg.output_patch_len, cfg.num_output_channels
@@ -137,7 +146,7 @@ def timesfm_flops_per_series(cfg, context: int, mode: str, text_dims: int = 384)
     # default), so the required per-layer attention FLOPs are 2*md*md there;
     # baseline mode trains the factors and keeps v+out (4*md*md).
     if n == 1:
-        attn_gemms = 2 * md * md if mode == "multimodal" else 4 * md * md
+        attn_gemms = 2 * md * md if (mode == "multimodal" and fold) else 4 * md * md
     else:
         attn_gemms = 8 * md * md
     stack = cfg.num_layers * (n * (attn_gemms + 4 * md * ffn) + 4 * n * n * md)
@@ -510,6 +519,13 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
         3: init_fusion(jax.random.key(3), decoders[3].fusion_spec),
     }
     frozen = {k: v for k, v in base_params.items() if k != "fusion"}
+    # Match the shipped sweep path (sweep_lib._run_group): at the 32/32
+    # geometry the frozen attention is folded to one (D, D) GEMM per layer.
+    from multimodal_timesfm_tpu.models.layers import fold_frozen_tree_seq1
+
+    folded = fold_frozen_tree_seq1(frozen)
+    if folded is not None:
+        frozen = folded
     if compute_dtype != jnp.float32:
         frozen = jax.tree.map(
             lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, frozen

@@ -305,11 +305,19 @@ def fold_seq1_attention(stacked: Params) -> Params:
     out_kernel = attn["out"]["kernel"]  # (L, H*D, md)
     hd = out_kernel.shape[1]
     wv = attn["qkv"]["kernel"][:, :, 2 * hd :]  # (L, md, H*D)
-    vo: Params = {"kernel": jnp.einsum("ldh,lhm->ldm", wv, out_kernel)}
+    # fp32-accumulate the fold products even for bf16-stored trees (module
+    # matmul convention), then return the tree's own dtype.
+    vo: Params = {
+        "kernel": jnp.einsum(
+            "ldh,lhm->ldm", wv, out_kernel, preferred_element_type=jnp.float32
+        ).astype(out_kernel.dtype)
+    }
     bias = attn["out"].get("bias")
     if "bias" in attn["qkv"]:
         bv = attn["qkv"]["bias"][:, 2 * hd :]  # (L, H*D)
-        folded_bv = jnp.einsum("lh,lhm->lm", bv, out_kernel)
+        folded_bv = jnp.einsum(
+            "lh,lhm->lm", bv, out_kernel, preferred_element_type=jnp.float32
+        ).astype(out_kernel.dtype)
         bias = folded_bv if bias is None else bias + folded_bv
     if bias is not None:
         vo["bias"] = bias

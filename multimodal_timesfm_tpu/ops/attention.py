@@ -151,11 +151,11 @@ def _masked_softmax(q, k, valid):
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
     """One (batch*head) slice: fused softmax(QK^T + causal + padding) V.
 
-    ``valid_ref`` is this program's (1, S) block of the (B, S) mask — the
-    block index map folds the head dimension (``i // heads``), so the mask
-    is neither repeated per head in HBM nor resident whole in VMEM.
+    ``valid_ref`` is this program's (1, 1, S) block of the (B, 1, S) mask —
+    the block index map folds the head dimension (``i // heads``), so the
+    mask is neither repeated per head in HBM nor resident whole in VMEM.
     """
-    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0])
+    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0, 0])
     o_ref[0] = jax.lax.dot_general(
         w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -173,7 +173,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_r
     """
     q = q_ref[0]
     k = k_ref[0]
-    w = _masked_softmax(q, k, valid_ref[0])
+    w = _masked_softmax(q, k, valid_ref[0, 0])
 
     g32 = g_ref[0].astype(jnp.float32)
     v32 = v_ref[0].astype(jnp.float32)
@@ -209,12 +209,19 @@ def _unflatten_heads(x, batch, heads):
 
 def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False):
     batch, seq, heads, dim = q.shape
-    valid = key_valid.astype(jnp.float32)  # (B, S) — NOT repeated per head
+    # (B, 1, S) — NOT repeated per head. The singleton middle axis makes the
+    # mask block's trailing dims (1, S) EQUAL the array's trailing dims, which
+    # the Mosaic TPU lowering requires (a (1, S) block over a (B, S) array has
+    # second-to-last block dim 1 vs array dim B — rejected unless B == 1;
+    # caught on-TPU at context 16384, invisible to CPU interpret tests).
+    valid = key_valid.astype(jnp.float32)[:, None, :]
     spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Each program reads only its batch row's mask block; the index map folds
     # the head dim, so VMEM holds (1, S) instead of the full (B*H, S) array
     # (which scaled with batch*heads and blew the budget at large B*H).
-    mask_spec = pl.BlockSpec((1, seq), lambda i: (i // heads, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (1, 1, seq), lambda i: (i // heads, 0, 0), memory_space=pltpu.VMEM
+    )
 
     out_shape = [jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)] * num_outputs
     out_specs = [spec] * num_outputs

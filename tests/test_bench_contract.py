@@ -26,11 +26,14 @@ def test_timesfm_flops_estimate_matches_hand_derivation():
     cfg = TimesFMConfig()
     flops = bench.timesfm_flops_per_series(cfg, 32, "multimodal")
     assert 0.40e9 < flops < 0.45e9
-    # baseline keeps the separate v/out factors (they train): more per-layer
-    # attention FLOPs before the dW term even counts.
+    # baseline keeps the separate v/out factors (they train) AND adds the
+    # dW matmuls (~3x fwd): well above the folded multimodal count.
     assert bench.timesfm_flops_per_series(cfg, 32, "baseline") > 3.0 / 2.0 * flops
-    # baseline adds the dW matmuls (~3x fwd)
-    assert bench.timesfm_flops_per_series(cfg, 32, "baseline") > flops
+    # the A/B knob mirrors into the denominator: fold off counts v+out
+    unfolded = bench.timesfm_flops_per_series(cfg, 32, "multimodal", fold=False)
+    assert unfolded > flops
+    expected_delta = 2 * 2 * cfg.model_dims * cfg.model_dims * cfg.num_layers  # x2 bwd
+    assert abs((unfolded - flops) - expected_delta) < 1e-6 * expected_delta
     # 16x the tokens AND the q/k projections back -> far more than 16x
     assert bench.timesfm_flops_per_series(cfg, 512, "multimodal") > 16 * flops * 0.99
 
