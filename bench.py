@@ -24,11 +24,17 @@ Prints ONE JSON line. The headline metric keeps the driver contract
 ``--attention-bench`` instead micro-benchmarks the Pallas fused attention
 kernel against the XLA path across sequence lengths (reproduces the
 crossover table in ``ops/attention.py:supports_pallas``).
+
+``--kernel-check`` validates both Pallas attention paths against the XLA
+oracle on the active backend — compiled on TPU, where it catches Mosaic
+lowering rejections that CPU interpret-mode tests structurally cannot
+(docs/PERF.md records one such regression). Run after any kernel edit.
 """
 
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -767,6 +773,115 @@ def attention_bench(dtype: str) -> int:
     return 0
 
 
+def kernel_check(dtype: str) -> int:
+    """Numerically validate the Pallas attention kernels on the REAL device.
+
+    Interpret-mode CPU tests prove kernel *math*; they cannot see Mosaic TPU
+    lowering rules (e.g. BlockSpec block-dim divisibility — a `(1, S)` mask
+    block over a `(B, S)` array passes interpret tests and is rejected at TPU
+    lowering; see docs/PERF.md, commit history around the c16384 regression).
+    This check compiles both Pallas paths on whatever backend is active and
+    compares fwd + grads against the XLA oracle with ragged padding masks.
+    Run it after ANY kernel or BlockSpec edit: ``python bench.py --kernel-check``.
+    Exit 0 = every path lowered, ran, and matched; nonzero otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.ops.attention import (
+        flash_causal_attention,
+        fused_causal_attention,
+        xla_causal_attention,
+    )
+
+    on_device = jax.default_backend() in ("tpu", "axon")
+    interpret = not on_device
+    comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    # bf16 inputs: fwd rounds at ~1e-2 resolution; observed diffs are ~5e-4.
+    atol = 5e-3 if comp_dtype == jnp.bfloat16 else 1e-5
+    rows = []
+    failures = 0
+
+    def compare(name, fn, seq, batch=4, heads=4, dim=64):
+        nonlocal failures
+        rng = np.random.default_rng(seq)
+        scale = 1.0 / np.sqrt(dim)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(batch, seq, heads, dim)) * scale, comp_dtype)
+            for _ in range(3)
+        )
+        lengths = np.linspace(seq // 4, seq, batch, dtype=int)  # ragged padding
+        valid = jnp.asarray(np.arange(seq)[None, :] < lengths[:, None])
+        qmask = np.asarray(valid)[:, :, None, None]  # padded-query rows are garbage
+
+        def loss_of(attn):
+            def loss(q, k, v):
+                out = attn(q, k, v, valid).astype(jnp.float32)
+                return jnp.sum(jnp.where(jnp.asarray(qmask), out, 0.0) ** 2)
+
+            return loss
+
+        # On CPU the custom-VJP backward kernel traces outside the forward's
+        # interpret context, so the whole comparison runs under the
+        # interpreter there (see flash_causal_attention docstring).
+        if interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            ctx = pltpu.force_tpu_interpret_mode()
+        else:
+            ctx = contextlib.nullcontext()
+        try:
+            with ctx:
+                out = jax.jit(fn)(q, k, v, valid)
+                ref = jax.jit(xla_causal_attention)(q, k, v, valid)
+                g = jax.jit(jax.grad(loss_of(fn), argnums=(0, 1, 2)))(q, k, v)
+                gr = jax.jit(jax.grad(loss_of(xla_causal_attention), argnums=(0, 1, 2)))(q, k, v)
+            fwd_diff = float(
+                np.max(np.abs((np.asarray(out, np.float32) - np.asarray(ref, np.float32)) * qmask))
+            )
+            grad_diff = max(
+                float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+                for a, b in zip(g, gr)
+            )
+            ok = bool(fwd_diff <= atol and grad_diff <= 4 * atol)
+            rows.append(
+                {
+                    "path": name,
+                    "seq": seq,
+                    "fwd_max_diff": fwd_diff,
+                    "grad_max_diff": grad_diff,
+                    "ok": ok,
+                }
+            )
+        except Exception as exc:  # lowering rejection IS the failure mode hunted here
+            rows.append({"path": name, "seq": seq, "ok": False, "error": repr(exc)})
+            ok = False
+        failures += not ok
+        _log(f"[kernel-check] {rows[-1]}")
+
+    whole = lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret)  # noqa: E731
+    flash = lambda q, k, v, m: flash_causal_attention(q, k, v, m, interpret)  # noqa: E731
+    compare("whole-seq", whole, 512)
+    if on_device:
+        compare("whole-seq", whole, 1024)  # backward VMEM upper bound
+        compare("flash", flash, 2100)  # non-128-multiple: tile-padding route
+        compare("flash", flash, 4096, batch=2)
+    else:
+        compare("flash", flash, 264, batch=2)  # padding route, CPU-feasible
+    print(
+        json.dumps(
+            {
+                "metric": "attention_kernel_check",
+                "backend": jax.default_backend(),
+                "compiled": on_device,
+                "failures": failures,
+                "rows": rows,
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -791,6 +906,13 @@ def main() -> int:
         "--attention-bench",
         action="store_true",
         help="Micro-benchmark Pallas vs XLA attention instead of the training workloads.",
+    )
+    parser.add_argument(
+        "--kernel-check",
+        action="store_true",
+        help="Validate the Pallas attention kernels against the XLA oracle on "
+        "the active backend (compiled on TPU — catches Mosaic lowering "
+        "rejections that CPU interpret tests cannot). Exit 1 on mismatch.",
     )
     parser.add_argument(
         "--latency",
@@ -837,6 +959,8 @@ def main() -> int:
     _enable_compile_cache()
     if args.attention_bench:
         return attention_bench(args.dtype)
+    if args.kernel_check:
+        return kernel_check(args.dtype)
     if args.latency:
         return latency_bench(args.dtype)
     if args.sweep_bench:

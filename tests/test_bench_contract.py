@@ -80,6 +80,22 @@ def test_backend_retry_reexecs_with_decremented_budget(monkeypatch):
     assert "bad" not in calls
 
 
+def test_kernel_check_passes_on_cpu(capsys):
+    """--kernel-check runs both Pallas paths vs the XLA oracle and exits 0.
+
+    On CPU this exercises the interpreter (math parity + the flag's
+    plumbing); the lowering-rejection detection it exists for needs the
+    real TPU — run `python bench.py --kernel-check` there after any
+    kernel/BlockSpec edit (docs/PERF.md records the regression class).
+    """
+    assert bench.kernel_check("bfloat16") == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["metric"] == "attention_kernel_check"
+    assert payload["failures"] == 0
+    assert {r["path"] for r in payload["rows"]} == {"whole-seq", "flash"}
+    assert all(r["ok"] for r in payload["rows"])
+
+
 def test_bench_headline_json_contract():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
