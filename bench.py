@@ -131,16 +131,16 @@ def _check_backend_reachable() -> None:
 
 
 def timesfm_flops_per_series(
-    cfg, context: int, mode: str, text_dims: int = 384, fold: bool | None = None
+    cfg, context: int, mode: str, text_dims: int = 384, fold: bool = True
 ) -> float:
     """Training FLOPs/series: fwd + input-grad path (frozen backbone) or +dW.
 
-    ``fold`` mirrors the trainer's ``fold_frozen_seq1`` so the denominator
-    matches the program actually measured; None resolves from the same
-    MTT_BENCH_NO_FOLD A/B knob build_trainer uses.
+    ``fold`` must mirror the seq==1 attention fold of the program actually
+    measured — ``run_workload`` passes the trainer's ``folded_seq1`` state
+    (the trainer gates on mode/sharding/geometry/knob; re-deriving those
+    here would drift). Default True = the trainer's default on the folded
+    headline geometry.
     """
-    if fold is None:
-        fold = not bool(int(os.environ.get("MTT_BENCH_NO_FOLD", "0")))
     n = context // cfg.input_patch_len
     p, md, ffn = cfg.input_patch_len, cfg.model_dims, cfg.ffn_dims
     o, q = cfg.output_patch_len, cfg.num_output_channels
@@ -451,7 +451,10 @@ def run_workload(
             _log(f"[bench] {name}: trace summary unavailable ({exc})")
 
     if backbone == "timesfm":
-        flops = timesfm_flops_per_series(cfg, context, mode)
+        # The denominator must size the program actually measured: read the
+        # trainer's fold state instead of re-deriving its gates (mode,
+        # sharding, geometry, env knob) — they'd silently drift.
+        flops = timesfm_flops_per_series(cfg, context, mode, fold=trainer.folded_seq1)
     else:
         flops = chronos_flops_per_series(cfg, context, mode, horizon=horizon)
     peak = peak_flops_per_sec()
@@ -726,11 +729,12 @@ def attention_bench(dtype: str) -> int:
 
     from multimodal_timesfm_tpu.ops.attention import (
         fused_causal_attention,
+        is_tpu_backend,
         supports_pallas,
         xla_causal_attention,
     )
 
-    interpret = jax.default_backend() == "cpu"
+    interpret = not is_tpu_backend()
     comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     batch, heads, dim = 8, 16, 80
     rows = []
@@ -791,14 +795,20 @@ def kernel_check(dtype: str) -> int:
     from multimodal_timesfm_tpu.ops.attention import (
         flash_causal_attention,
         fused_causal_attention,
+        is_tpu_backend,
         xla_causal_attention,
     )
 
-    on_device = jax.default_backend() in ("tpu", "axon")
+    on_device = is_tpu_backend()
     interpret = not on_device
     comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    # bf16 inputs: fwd rounds at ~1e-2 resolution; observed diffs are ~5e-4.
-    atol = 5e-3 if comp_dtype == jnp.bfloat16 else 1e-5
+    # One calibrated tolerance for BOTH dtypes: TPU matmuls default to
+    # bf16-decomposed precision even on fp32 inputs, so the tiled flash path
+    # and XLA legitimately differ at ~3e-3 under fp32 (measured, S=4096
+    # grads; bf16 measured ~8e-3). The check hunts lowering rejections and
+    # wrong-mask garbage — O(1) diffs — not ULP parity (interpret-mode tests
+    # in tests/test_attention.py own that).
+    atol = 5e-3
     rows = []
     failures = 0
 

@@ -40,6 +40,17 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _FORCE_XLA = False
 
 
+def is_tpu_backend() -> bool:
+    """True when the active JAX backend is a TPU (incl. the 'axon' PJRT name).
+
+    The single source of truth for "can the Pallas TPU kernels compile
+    here" — ``supports_pallas``/``supports_flash`` and the bench's
+    ``--kernel-check``/``--attention-bench`` all key on this, so a backend
+    rename is a one-line change.
+    """
+    return jax.default_backend() in ("tpu", "axon")
+
+
 @contextlib.contextmanager
 def force_xla_attention():
     """Route ``causal_attention`` through the portable XLA path while tracing.
@@ -331,7 +342,7 @@ def supports_flash(seq: int, dim: int) -> bool:
     ``flash_causal_attention``, so the only gates are the crossover and the
     head-dim bound (<=256, same as the whole-sequence kernels).
     """
-    if _FORCE_XLA or jax.default_backend() not in ("tpu", "axon"):
+    if _FORCE_XLA or not is_tpu_backend():
         return False
     return seq > 2048 and dim <= 256
 
@@ -349,6 +360,6 @@ def supports_pallas(seq: int, dim: int) -> bool:
     Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
     S=1024 compiles on v5e, S=2048 does not.
     """
-    if _FORCE_XLA or jax.default_backend() not in ("tpu", "axon"):
+    if _FORCE_XLA or not is_tpu_backend():
         return False
     return seq >= 256 and seq % 8 == 0 and seq <= 1024 and dim <= 256

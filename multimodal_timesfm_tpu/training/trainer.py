@@ -238,6 +238,9 @@ class MultimodalTrainer:
             if folded is not None:  # None: non-TimesFM (e.g. Chronos) tree
                 self.frozen = folded
                 self._folded_seq1 = True
+        # Public: consumers sizing the program's true FLOPs (bench MFU
+        # denominators) must read the ACTUAL fold state, not re-derive the
+        # gates above (mode, sharding, geometry, knob) — see folded_seq1.
         if frozen_cast_dtype is not None:
             self.frozen = jax.tree.map(
                 lambda x: x.astype(frozen_cast_dtype)
@@ -653,6 +656,17 @@ class MultimodalTrainer:
             batches = jax.tree.map(lambda x: x[:, 0], batches)
             mse, _, _ = self._eval_mat_fn(self.state.trainable, self.frozen, batches)
         return float(np.mean(np.asarray(mse)[:num_batches]))
+
+    @property
+    def folded_seq1(self) -> bool:
+        """Whether the frozen tree's attention was folded (`fold_seq1_attention`).
+
+        True only when every gate held: multimodal mode, no TP sharding rules,
+        one-patch-token geometry on BOTH splits, the ``fold_frozen_seq1`` knob,
+        and a TimesFM-shaped tree. FLOPs accounting (bench MFU denominators)
+        keys on this instead of re-deriving the gates.
+        """
+        return self._folded_seq1
 
     def fused_epochs_supported(self) -> bool:
         """Whether ``train()`` can run as one fused device dispatch.

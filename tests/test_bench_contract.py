@@ -29,7 +29,8 @@ def test_timesfm_flops_estimate_matches_hand_derivation():
     # baseline keeps the separate v/out factors (they train) AND adds the
     # dW matmuls (~3x fwd): well above the folded multimodal count.
     assert bench.timesfm_flops_per_series(cfg, 32, "baseline") > 3.0 / 2.0 * flops
-    # the A/B knob mirrors into the denominator: fold off counts v+out
+    # run_workload passes the trainer's ACTUAL fold state; fold off counts
+    # the separate v+out GEMMs (the MTT_BENCH_NO_FOLD A/B measures this).
     unfolded = bench.timesfm_flops_per_series(cfg, 32, "multimodal", fold=False)
     assert unfolded > flops
     expected_delta = 2 * 2 * cfg.model_dims * cfg.model_dims * cfg.num_layers  # x2 bwd
