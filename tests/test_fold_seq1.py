@@ -61,7 +61,7 @@ def _args(tmp_path, **kw):
     return TrainingArguments(**defaults)
 
 
-def _trainer(tmp_path, mode="multimodal", fold=True, context=CONTEXT, **args_kw):
+def _trainer(tmp_path, mode="multimodal", fold=True, context=CONTEXT, cast=None, **args_kw):
     decoder = _decoder()
     params = decoder.init(jax.random.key(0))
     with_text = mode == "multimodal"
@@ -82,6 +82,7 @@ def _trainer(tmp_path, mode="multimodal", fold=True, context=CONTEXT, **args_kw)
         val_dataset=PreprocessedDataset(samples[16:], mode),
         mode=mode,
         fold_frozen_seq1=fold,
+        frozen_cast_dtype=cast,
     )
     return decoder, params, trainer
 
@@ -131,6 +132,26 @@ def test_trainer_folds_and_matches_unfolded_trajectory(tmp_path):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         folded.state.trainable,
         plain.state.trainable,
+    )
+
+
+def test_fold_composes_with_bf16_frozen_cast(tmp_path):
+    """The bench path: fold in fp32 FIRST, then cast the frozen tree to bf16.
+
+    Pins the composition order (trainer.py folds before frozen_cast_dtype
+    applies; fold_seq1_attention fp32-accumulates even on bf16-stored trees)
+    and that the folded bf16 program tracks the unfolded bf16 program within
+    bf16 rounding — the reassociated product is the only difference.
+    """
+    _, _, folded = _trainer(tmp_path / "a", fold=True, cast=jnp.bfloat16)
+    _, _, plain = _trainer(tmp_path / "b", fold=False, cast=jnp.bfloat16)
+    assert folded._folded_seq1 and not plain._folded_seq1
+    vo = folded.frozen["adapter"]["stacked_xf"]["attn"]["vo"]["kernel"]
+    assert vo.dtype == jnp.bfloat16  # cast applied AFTER the fp32 fold
+    folded.train()
+    plain.train()
+    np.testing.assert_allclose(
+        np.asarray(folded.best_val_loss), np.asarray(plain.best_val_loss), rtol=2e-2
     )
 
 
