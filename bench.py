@@ -322,7 +322,11 @@ def build_trainer(
         # feature remains available (docs/PERF.md).
         # A/B knob: MTT_BENCH_NO_FOLD=1 disables the frozen seq==1 v+out
         # attention fold (trainer default: on) to measure its contribution.
-        fold_frozen_seq1=not bool(int(os.environ.get("MTT_BENCH_NO_FOLD", "0"))),
+        # Parsed permissively ("1"/"true"/"yes" all toggle; anything else,
+        # including empty, leaves the fold on) — an env-var typo must not
+        # crash the workload build.
+        fold_frozen_seq1=os.environ.get("MTT_BENCH_NO_FOLD", "0").strip().lower()
+        not in ("1", "true", "yes"),
     )
     return trainer, cfg
 
@@ -802,13 +806,16 @@ def kernel_check(dtype: str) -> int:
     on_device = is_tpu_backend()
     interpret = not on_device
     comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    # One calibrated tolerance for BOTH dtypes: TPU matmuls default to
-    # bf16-decomposed precision even on fp32 inputs, so the tiled flash path
-    # and XLA legitimately differ at ~3e-3 under fp32 (measured, S=4096
-    # grads; bf16 measured ~8e-3). The check hunts lowering rejections and
-    # wrong-mask garbage — O(1) diffs — not ULP parity (interpret-mode tests
-    # in tests/test_attention.py own that).
-    atol = 5e-3
+    # Per-dtype tolerances: TPU matmuls default to bf16-decomposed precision
+    # even on fp32 inputs, so the tiled flash path and XLA legitimately
+    # differ at ~3e-3 under fp32 (measured, S=4096 grads). Under bf16 the
+    # measured diffs reach ~8e-3 (grads), which sits within flake range of a
+    # single 5e-3 bound — bf16 gets its own looser forward bound so the
+    # default on-TPU check isn't one rounding away from a false failure. The
+    # check hunts lowering rejections and wrong-mask garbage — O(1) diffs —
+    # not ULP parity (interpret-mode tests in tests/test_attention.py own
+    # that); grads use 4*atol.
+    atol = 1.5e-2 if comp_dtype == jnp.bfloat16 else 5e-3
     rows = []
     failures = 0
 

@@ -302,6 +302,10 @@ def fold_seq1_attention(stacked: Params) -> Params:
         only feeds the softmax, which is constant) are dropped.
     """
     attn = stacked["attn"]
+    if "vo" in attn:
+        # Already folded: composing trainer + sweep paths must not double-fold
+        # (the factors were dropped, so re-folding would KeyError confusingly).
+        return stacked
     out_kernel = attn["out"]["kernel"]  # (L, H*D, md)
     hd = out_kernel.shape[1]
     wv = attn["qkv"]["kernel"][:, :, 2 * hd :]  # (L, md, H*D)

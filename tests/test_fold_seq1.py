@@ -251,3 +251,19 @@ def test_fold_skipped_under_tensor_parallel_sharding(tmp_path):
     assert not trainer._folded_seq1
     assert "qkv" in trainer.frozen["adapter"]["stacked_xf"]["attn"]
     trainer.train_epoch()  # TP program still compiles and runs unfolded
+
+
+def test_fold_is_idempotent_on_already_folded_tree():
+    """Double-folding (trainer + sweep paths composing) must be a no-op."""
+    cfg = TimesFMConfig.tiny()
+    stacked = L.init_stacked_layers(
+        jax.random.key(1), cfg.num_layers, cfg.model_dims, cfg.num_heads, cfg.head_dim, cfg.ffn_dims
+    )
+    folded = L.fold_seq1_attention(stacked)
+    refolded = L.fold_seq1_attention(folded)
+    assert refolded is folded
+    x = jax.random.normal(jax.random.key(2), (4, 1, cfg.model_dims), jnp.float32)
+    pad = jnp.zeros((4, 1), bool)
+    ref = L.stacked_transformer(folded, x, pad, cfg.num_heads, cfg.head_dim)
+    got = L.stacked_transformer(refolded, x, pad, cfg.num_heads, cfg.head_dim)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
