@@ -327,6 +327,10 @@ def build_trainer(
         # crash the workload build.
         fold_frozen_seq1=os.environ.get("MTT_BENCH_NO_FOLD", "0").strip().lower()
         not in ("1", "true", "yes"),
+        # A/B knob: MTT_BENCH_NO_FUSED_OPT=1 falls back to the optax-chain
+        # optimizer (trainer default: the fused single-pass AdamW step).
+        fused_optimizer=os.environ.get("MTT_BENCH_NO_FUSED_OPT", "0").strip().lower()
+        not in ("1", "true", "yes"),
     )
     return trainer, cfg
 
@@ -734,15 +738,27 @@ def attention_bench(dtype: str) -> int:
     from multimodal_timesfm_tpu.ops.attention import (
         fused_causal_attention,
         is_tpu_backend,
+        pallas_pack,
         supports_pallas,
         xla_causal_attention,
     )
 
     interpret = not is_tpu_backend()
     comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    batch, heads, dim = 8, 16, 80
+    heads, dim = 16, 80
     rows = []
-    for seq in (64, 128, 256, 512, 1024):
+    # (seq, batch, packs-to-try): small S at training-realistic batch (the
+    # c512/c2048 workloads run 16/64 tokens at batch 256/64), classic S at 8.
+    cases = [
+        (16, 256, (1, 4, 8, 16)),
+        (64, 64, (1, 2, 4)),
+        (64, 8, (1,)),
+        (128, 8, (1,)),
+        (256, 8, (1,)),
+        (512, 8, (1,)),
+        (1024, 8, (1,)),
+    ]
+    for seq, batch, packs in cases:
         rng = np.random.default_rng(seq)
         q, k, v = (
             jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), comp_dtype) for _ in range(3)
@@ -765,18 +781,27 @@ def attention_bench(dtype: str) -> int:
             return (time.perf_counter() - t0) / reps
 
         xla_t = timeit(loss_of(xla_causal_attention), q, k, v)
-        pallas_fn = loss_of(lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret))
-        pallas_t = timeit(pallas_fn, q, k, v)
-        rows.append(
-            {
-                "seq": seq,
-                "xla_ms": round(xla_t * 1e3, 3),
-                "pallas_ms": round(pallas_t * 1e3, 3),
-                "pallas_speedup": round(xla_t / pallas_t, 3),
-                "gate_selects_pallas": supports_pallas(seq, dim),
-            }
-        )
-        _log(f"[attention-bench] {rows[-1]}")
+        for pack in packs:
+            pallas_fn = loss_of(
+                lambda q, k, v, m, _p=pack: fused_causal_attention(q, k, v, m, interpret, _p)
+            )
+            pallas_t = timeit(pallas_fn, q, k, v)
+            rows.append(
+                {
+                    "seq": seq,
+                    "batch": batch,
+                    "pack": pack,
+                    "xla_ms": round(xla_t * 1e3, 3),
+                    "pallas_ms": round(pallas_t * 1e3, 3),
+                    "pallas_speedup": round(xla_t / pallas_t, 3),
+                    "gate_selects": (
+                        "pallas" if (supports_pallas(seq, dim) and pack == 1)
+                        or pallas_pack(seq, heads, dim) == pack
+                        else "xla"
+                    ),
+                }
+            )
+            _log(f"[attention-bench] {rows[-1]}")
     print(json.dumps({"metric": "pallas_attention_crossover", "rows": rows}))
     return 0
 
@@ -878,7 +903,15 @@ def kernel_check(dtype: str) -> int:
 
     whole = lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret)  # noqa: E731
     flash = lambda q, k, v, m: flash_causal_attention(q, k, v, m, interpret)  # noqa: E731
+
+    def packed(p):
+        return lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret, p)
+
     compare("whole-seq", whole, 512)
+    # Small-S packed variants: the production geometries pallas_pack selects
+    # (S=16 -> pack 16 at 16 heads, S=64 -> pack 4), plus ragged padding.
+    compare("packed-16x16", packed(16), 16, batch=8, heads=16, dim=80)
+    compare("packed-64x4", packed(4), 64, batch=8, heads=16, dim=80)
     if on_device:
         compare("whole-seq", whole, 1024)  # backward VMEM upper bound
         compare("flash", flash, 2100)  # non-128-multiple: tile-padding route

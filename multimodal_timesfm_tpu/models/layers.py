@@ -223,8 +223,8 @@ def causal_attention(
     from multimodal_timesfm_tpu.ops.attention import (
         flash_causal_attention,
         fused_causal_attention,
+        pallas_pack,
         supports_flash,
-        supports_pallas,
         xla_causal_attention,
     )
 
@@ -269,8 +269,11 @@ def causal_attention(
     v = qkv[..., 2 * hd :].reshape(batch, seq, num_heads, head_dim)
     q = _scale_query(q, params["per_dim_scale"], head_dim)
     key_valid = ~paddings  # (B, N)
-    if supports_pallas(seq, head_dim):
-        out = fused_causal_attention(q, k, v, key_valid)
+    pack = pallas_pack(seq, num_heads, head_dim)
+    if pack is not None:
+        # pack > 1 at small S: multiple head slices per program fill the MXU
+        # tiles one starved slice cannot (ops/attention._launch).
+        out = fused_causal_attention(q, k, v, key_valid, False, pack)
     elif supports_flash(seq, head_dim):
         out = flash_causal_attention(q, k, v, key_valid)
     else:

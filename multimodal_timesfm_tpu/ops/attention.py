@@ -138,13 +138,19 @@ def xla_causal_attention(q, k, v, key_valid):
 # ---------------------------------------------------------------------------
 
 
-def _masked_softmax(q, k, valid):
+def _masked_softmax(q, k, valid, seq):
     """In-kernel fp32 softmax(QK^T) with causal + key-padding masking.
 
-    q, k: (S, D); valid: (S,) float, 1.0 = valid key. Returns (S, S) fp32.
-    Fully-masked rows cannot occur for causal self-attention queries at valid
-    positions; padded-query rows produce garbage that downstream masking of
-    the corresponding outputs makes inert.
+    q, k: (P*S, D) — ``P = rows // seq`` packed slices of per-slice length
+    ``seq`` stacked on the row axis (P == 1 is the classic one-slice case);
+    valid: (S,) float, 1.0 = valid key, shared by every packed slice (the
+    launch packs slices of the SAME batch row — heads — per program).
+    Returns (P*S, P*S) fp32, BLOCK-DIAGONAL over slices: cross-slice entries
+    are masked exactly like causal-future ones, so packing is numerically
+    identical to P separate programs while the MXU sees one (P*S)-sized
+    matmul instead of P tiny ones. Fully-masked rows cannot occur for causal
+    self-attention queries at valid positions; padded-query rows produce
+    garbage that downstream masking of the corresponding outputs makes inert.
     """
     s = q.shape[0]
     logits = jax.lax.dot_general(
@@ -152,39 +158,48 @@ def _masked_softmax(q, k, valid):
     )
     row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = (col <= row) & (valid[None, :] > 0)
+    # Same slice & causal: col <= row within a slice; row//seq == col//seq
+    # kills cross-slice attention (no-op when P == 1).
+    mask = (col <= row) & (row // seq == col // seq)
+    if s == seq:
+        valid_row = valid[None, :]
+    else:
+        valid_row = jnp.broadcast_to(valid[None, :], (s // seq, seq)).reshape(1, s)
+    mask &= valid_row > 0
     logits = jnp.where(mask, logits, _NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
-    """One (batch*head) slice: fused softmax(QK^T + causal + padding) V.
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, seq):
+    """One program: fused softmax(QK^T + causal + padding) V over packed slices.
 
     ``valid_ref`` is this program's (1, 1, S) block of the (B, 1, S) mask —
-    the block index map folds the head dimension (``i // heads``), so the
-    mask is neither repeated per head in HBM nor resident whole in VMEM.
+    the block index map folds the head dimension, so the mask is neither
+    repeated per head in HBM nor resident whole in VMEM. ``seq`` is the
+    per-slice length; the block's row count is ``pack * seq``.
     """
-    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0, 0])
+    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0, 0], seq)
     o_ref[0] = jax.lax.dot_general(
         w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_ref):
-    """Fused backward for one (batch*head) slice.
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_ref, *, seq):
+    """Fused backward for one program (packed slices, see the forward kernel).
 
     Recomputes W = softmax(masked QK^T), then
         dV = W^T g,   dW = g V^T,
         dL = W * (dW - rowsum(dW * W))   (softmax VJP),
         dQ = dL K,    dK = dL^T Q.
-    Masked entries have W = 0, so dL vanishes there automatically.
+    Masked entries (causal-future AND cross-slice) have W = 0, so dL vanishes
+    there automatically — the packed backward is exact.
     """
     q = q_ref[0]
     k = k_ref[0]
-    w = _masked_softmax(q, k, valid_ref[0, 0])
+    w = _masked_softmax(q, k, valid_ref[0, 0], seq)
 
     g32 = g_ref[0].astype(jnp.float32)
     v32 = v_ref[0].astype(jnp.float32)
@@ -218,23 +233,39 @@ def _unflatten_heads(x, batch, heads):
     return x.reshape(batch, heads, seq, dim).transpose(0, 2, 1, 3)
 
 
-def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False):
+def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False, pack=1):
     batch, seq, heads, dim = q.shape
+    if pack < 1 or heads % pack:
+        raise ValueError(f"pack ({pack}) must divide num_heads ({heads})")
     # (B, 1, S) — NOT repeated per head. The singleton middle axis makes the
     # mask block's trailing dims (1, S) EQUAL the array's trailing dims, which
     # the Mosaic TPU lowering requires (a (1, S) block over a (B, S) array has
     # second-to-last block dim 1 vs array dim B — rejected unless B == 1;
     # caught on-TPU at context 16384, invisible to CPU interpret tests).
     valid = key_valid.astype(jnp.float32)[:, None, :]
-    spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # ``pack`` consecutive (batch*head) slices run in ONE program as a
+    # (pack*S, D) block — at small S the per-slice matmuls starve the MXU
+    # (S=16 is an eighth of one 128-lane tile), so packing head slices row-
+    # wise turns them into one MXU-sized matmul; the kernel masks cross-slice
+    # entries (exact, see _masked_softmax). pack must divide heads so every
+    # slice in a program shares one batch row (=> one (S,) padding mask).
+    spec = pl.BlockSpec((1, pack * seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Each program reads only its batch row's mask block; the index map folds
     # the head dim, so VMEM holds (1, S) instead of the full (B*H, S) array
     # (which scaled with batch*heads and blew the budget at large B*H).
     mask_spec = pl.BlockSpec(
-        (1, 1, seq), lambda i: (i // heads, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, seq), lambda i: (i * pack // heads, 0, 0), memory_space=pltpu.VMEM
     )
 
-    out_shape = [jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)] * num_outputs
+    grid = (batch * heads // pack,)
+    kernel = functools.partial(kernel, seq=seq)
+
+    def pack_rows(x):  # (B*H, S, D) -> (B*H/pack, pack*S, D), contiguous
+        return x.reshape(batch * heads // pack, pack * seq, dim)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((batch * heads // pack, pack * seq, dim), q.dtype)
+    ] * num_outputs
     out_specs = [spec] * num_outputs
     if num_outputs == 1:
         out_shape, out_specs = out_shape[0], out_specs[0]
@@ -242,16 +273,20 @@ def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False):
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(batch * heads,),
+        grid=grid,
         in_specs=[spec, spec, spec, mask_spec] + [spec] * len(extra),
         out_specs=out_specs,
         interpret=interpret,
-    )(_flatten_heads(q), _flatten_heads(k), _flatten_heads(v), valid,
-      *[_flatten_heads(e) for e in extra])
+    )(pack_rows(_flatten_heads(q)), pack_rows(_flatten_heads(k)),
+      pack_rows(_flatten_heads(v)), valid,
+      *[pack_rows(_flatten_heads(e)) for e in extra])
+
+    def unpack(o):
+        return _unflatten_heads(o.reshape(batch * heads, seq, dim), batch, heads)
 
     if num_outputs == 1:
-        return _unflatten_heads(outs, batch, heads)
-    return tuple(_unflatten_heads(o, batch, heads) for o in outs)
+        return unpack(outs)
+    return tuple(unpack(o) for o in outs)
 
 
 # ---------------------------------------------------------------------------
@@ -259,25 +294,26 @@ def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_causal_attention(q, k, v, key_valid, interpret=False):
-    """Pallas-fused causal attention; differentiable (Pallas backward kernel)."""
-    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_causal_attention(q, k, v, key_valid, interpret=False, pack=1):
+    """Pallas-fused causal attention; differentiable (Pallas backward kernel).
+
+    ``pack`` packs that many consecutive head slices per program (see
+    ``_launch``) — numerically identical to pack=1, MXU-efficient at small S.
+    """
+    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret, pack=pack)
 
 
-def _fwd(q, k, v, key_valid, interpret):
-    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret), (
-        q,
-        k,
-        v,
-        key_valid,
-    )
+def _fwd(q, k, v, key_valid, interpret, pack):
+    return _launch(
+        _attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret, pack=pack
+    ), (q, k, v, key_valid)
 
 
-def _bwd(interpret, residuals, g):
+def _bwd(interpret, pack, residuals, g):
     q, k, v, key_valid = residuals
     dq, dk, dv = _launch(
-        _attn_bwd_kernel, 3, q, k, v, key_valid, extra=(g,), interpret=interpret
+        _attn_bwd_kernel, 3, q, k, v, key_valid, extra=(g,), interpret=interpret, pack=pack
     )
     return dq, dk, dv, None
 
@@ -348,14 +384,16 @@ def supports_flash(seq: int, dim: int) -> bool:
 
 
 def supports_pallas(seq: int, dim: int) -> bool:
-    """Size gate for the whole-sequence kernels, set by v5e measurements.
+    """Size gate for the whole-sequence kernels at pack=1, set by v5e measurements.
 
-    Lower bound: the per-(batch*head) program does tiny matmuls at small S,
-    where XLA's batched attention GEMMs win. Reproduce the crossover with
-    ``python bench.py --attention-bench`` (fwd+bwd micro-bench, v5e bf16):
-    S=64 pallas 0.68x (XLA wins), S=256 1.02x, S=512 1.06x, S=1024 2.19x.
-    End-to-end training measurements (TimesFM 200M) showed the same shape
-    with a larger S=512 win (1.9x). Crossover sits between 128 and 256.
+    Lower bound: ONE (batch*head) slice per program does tiny matmuls at
+    small S, where XLA's batched attention GEMMs win. Reproduce the crossover
+    with ``python bench.py --attention-bench`` (fwd+bwd micro-bench, v5e
+    bf16): S=64 pallas 0.68x (XLA wins), S=256 1.02x, S=512 1.06x, S=1024
+    2.19x. End-to-end training measurements (TimesFM 200M) showed the same
+    shape with a larger S=512 win (1.9x). Crossover sits between 128 and 256.
+    Below it, ``pallas_pack`` packs multiple head slices per program instead
+    of falling back to XLA.
 
     Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
     S=1024 compiles on v5e, S=2048 does not.
@@ -363,3 +401,34 @@ def supports_pallas(seq: int, dim: int) -> bool:
     if _FORCE_XLA or not is_tpu_backend():
         return False
     return seq >= 256 and seq % 8 == 0 and seq <= 1024 and dim <= 256
+
+
+def pallas_pack(seq: int, heads: int, dim: int) -> int | None:
+    """Choose the whole-sequence kernel's pack factor, or None for no Pallas.
+
+    At S >= 256 one slice per program already feeds the MXU (pack=1, the
+    ``supports_pallas`` regime). Below the crossover the per-program matmuls
+    are tile-starved — S=16 fills an eighth of one 128-row MXU tile — so pack
+    consecutive head slices per program up to ~256 rows (bigger wastes more
+    block-diagonal FLOPs for little further tile win). pack must divide
+    ``heads`` (one shared (S,) padding mask per program, see ``_launch``).
+    ``MTT_ATTN_SMALL_PACK=0`` disables the small-S packing (A/B knob);
+    measured results live in docs/PERF.md.
+    """
+    if _FORCE_XLA or not is_tpu_backend():
+        return None
+    if seq % 8 or dim > 256:
+        return None
+    if seq >= 256:
+        return 1 if seq <= 1024 else None
+    import os
+
+    if os.environ.get("MTT_ATTN_SMALL_PACK", "1").lower() in ("0", "false", "no"):
+        return None
+    pack = 1
+    for cand in range(1, heads + 1):
+        if heads % cand == 0 and cand * seq <= 256:
+            pack = cand
+    # A lone tile-starved slice per program loses to XLA (supports_pallas
+    # measurements) — only take the kernel when packing actually helps.
+    return pack if pack > 1 else None

@@ -8,8 +8,11 @@ via ``parallel.mesh.put_global``, which routes through
 ``make_array_from_process_local_data`` when ``jax.process_count() > 1``
 (plain ``device_put`` would reject shardings that span non-addressable
 devices). Every host builds the full dataset and JAX slices out each
-process's addressable shards. Untested here (single-process environment);
-the single-process path is identical to plain ``device_put``.
+process's addressable shards. The multi-process branch is exercised by
+``tests/test_distributed.py``: two localhost processes initialize over CPU
+(Gloo collectives), span one mesh, and run a real trainer epoch with loss
+parity against single-process. The single-process path is identical to plain
+``device_put``.
 
 Sweep fan-out across hosts does NOT need this: independent trials should run
 as independent single-host processes (one W&B/local agent each), which is

@@ -14,6 +14,7 @@ weight decay, chained behind global-norm clipping (reference
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Callable
 
@@ -172,6 +173,112 @@ def clip_by_global_norm_fp32(max_norm: float) -> optax.GradientTransformation:
         return updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedOptimizer:
+    """AdamW as one fused step: clip + moments + decay + lr + param update.
+
+    Same math as ``make_optimizer``'s
+    ``optax.chain(clip_by_global_norm_fp32, adamw(schedule))`` — pinned
+    step-for-step in ``tests/test_optimization.py`` — but the whole update is
+    computed per-leaf in a single expression ending in the new params, so XLA
+    emits ONE read-modify-write pass over the parameter tree instead of the
+    chain's materialized intermediate update trees (clip select -> moment
+    passes -> decayed-weights add -> lr scale -> apply add). On the 200M
+    baseline fine-tune the optimizer is HBM-bound, and the r3 trace attributed
+    ~16% of step time to the chain's separate ``multiply_add`` passes plus
+    part of the 17% convert/reduce share (docs/PERF.md) — the fused form
+    brings per-step optimizer traffic to its floor: one fp32 norm reduce over
+    the grads, then read g/m/v/p + write m/v/p once each.
+
+    Two deliberate numeric deviations from the chain, both only when clipping
+    TRIGGERS (g_norm >= max_norm): the clip is a branchless multiply by
+    ``max_norm / max(g_norm, max_norm)`` (the chain divides then multiplies —
+    one rounding difference), and the clipped gradient is never rounded back
+    to the gradient dtype before the moment update (the chain's select stores
+    it). When clipping does not trigger both forms are bit-identical.
+    """
+
+    init: Callable
+    step: Callable
+
+
+def make_fused_adamw(
+    schedule: Callable,
+    weight_decay: float,
+    max_grad_norm: float,
+    moment_dtype=None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> FusedOptimizer:
+    """Build the fused AdamW stepper: ``step(grads, state, params) -> (params, state)``.
+
+    ``state`` is an ``optax.ScaleByAdamState`` (count, mu, nu) with moments
+    stored in ``moment_dtype`` (None = each param's own dtype); accumulation
+    is always fp32 (see ``scale_by_adam_lowmem``). The learning rate is
+    ``schedule(count_before_increment)``, matching optax's
+    ``scale_by_schedule`` / the reference's per-optimizer-step LambdaLR.
+    """
+
+    def init_fn(params):
+        def zeros(p):
+            dt = p.dtype
+            if moment_dtype is not None and jnp.issubdtype(p.dtype, jnp.floating):
+                dt = moment_dtype
+            return jnp.zeros_like(p, dtype=dt)
+
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def step_fn(grads, state, params):
+        lr = schedule(state.count)
+        count = optax.safe_int32_increment(state.count)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        if max_grad_norm > 0:
+            g_norm = jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree.leaves(grads)
+                )
+            )
+            # Branchless clip: == 1.0 exactly when g_norm < max_norm (the
+            # optax trigger/select form), one scalar multiply when it fires.
+            clip = max_grad_norm / jnp.maximum(g_norm, max_grad_norm)
+        else:
+            clip = None
+
+        def leaf(p, g, m, v):
+            g32 = g.astype(jnp.float32)
+            if clip is not None:
+                g32 = g32 * clip
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
+            update = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            p32 = p.astype(jnp.float32)
+            new_p = p32 - lr * (update + weight_decay * p32)
+            return new_p.astype(p.dtype), m32.astype(m.dtype), v32.astype(v.dtype)
+
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        out = [leaf(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        new_params = jax.tree.unflatten(treedef, [o[0] for o in out])
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.unflatten(treedef, [o[1] for o in out]),
+            nu=jax.tree.unflatten(treedef, [o[2] for o in out]),
+        )
+        return new_params, new_state
+
+    return FusedOptimizer(init=init_fn, step=step_fn)
 
 
 def make_optimizer(

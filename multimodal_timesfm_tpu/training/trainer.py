@@ -54,7 +54,11 @@ from multimodal_timesfm_tpu.training.checkpoint import (
     rotate_checkpoints,
     save_checkpoint,
 )
-from multimodal_timesfm_tpu.training.optimization import make_optimizer, make_schedule
+from multimodal_timesfm_tpu.training.optimization import (
+    make_fused_adamw,
+    make_optimizer,
+    make_schedule,
+)
 from multimodal_timesfm_tpu.training_args import TrainingArguments
 from multimodal_timesfm_tpu.types import TrainingMode
 from multimodal_timesfm_tpu.utils.logging import get_logger
@@ -150,6 +154,7 @@ class MultimodalTrainer:
         ckpt_backend: str = "pickle",
         fuse_epochs: bool | None = None,
         fold_frozen_seq1: bool = True,
+        fused_optimizer: bool = True,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
@@ -263,13 +268,29 @@ class MultimodalTrainer:
             args.get_warmup_steps(num_training_steps),
             num_training_steps,
         )
+        moment_dtype = jnp.bfloat16 if args.adam_moment_dtype == "bfloat16" else None
+        # Fused stepper (default): one per-leaf read-modify-write pass over the
+        # trained tree instead of the optax chain's intermediate update trees —
+        # same math (pinned in tests/test_optimization.py), material on the
+        # 200M baseline fine-tune where the update is HBM-bound. The optax
+        # chain stays available (fused_optimizer=False) as the oracle; the two
+        # store DIFFERENT opt_state structures, so checkpoints resume only
+        # under the same setting.
+        self._fused_opt = (
+            make_fused_adamw(
+                self.schedule, args.weight_decay, args.max_grad_norm, moment_dtype
+            )
+            if fused_optimizer
+            else None
+        )
         self.optimizer = make_optimizer(
             self.schedule,
             args.weight_decay,
             args.max_grad_norm,
-            moment_dtype=jnp.bfloat16 if args.adam_moment_dtype == "bfloat16" else None,
+            moment_dtype=moment_dtype,
         )
-        self.state = TrainState(trainable=trainable, opt_state=self.optimizer.init(trainable))
+        init = self._fused_opt.init if self._fused_opt is not None else self.optimizer.init
+        self.state = TrainState(trainable=trainable, opt_state=init(trainable))
 
         # --- device placement ---
         self._dp = self.mesh.shape["data"] if self.mesh is not None else 1
@@ -286,8 +307,12 @@ class MultimodalTrainer:
                 self.frozen = shard_params_fn(self.frozen, self.mesh)
             else:
                 rep = replicated(self.mesh)
-                self.state = jax.device_put(self.state, rep)
-                self.frozen = jax.device_put(self.frozen, rep)
+                # put_global, not device_put: on a multi-host mesh the
+                # replicated sharding spans non-addressable devices, which
+                # device_put rejects (tests/test_distributed.py exercises the
+                # 2-process branch over localhost CPU).
+                self.state = jax.tree.map(lambda x: put_global(x, rep), self.state)
+                self.frozen = jax.tree.map(lambda x: put_global(x, rep), self.frozen)
 
         self._rng = np.random.default_rng(args.seed if args.seed is not None else 0)
 
@@ -417,8 +442,15 @@ class MultimodalTrainer:
                 # bf16 but the running sum must stay fp32 (a + g promotes).
                 zeros = jax.tree.map(jnp.zeros_like, state.trainable)
                 grads, losses = jax.lax.scan(micro, zeros, micro_xs)
-            updates, opt_state = self.optimizer.update(grads, state.opt_state, state.trainable)
-            trainable = optax.apply_updates(state.trainable, updates)
+            if self._fused_opt is not None:
+                trainable, opt_state = self._fused_opt.step(
+                    grads, state.opt_state, state.trainable
+                )
+            else:
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.trainable
+                )
+                trainable = optax.apply_updates(state.trainable, updates)
             return TrainState(trainable, opt_state), losses
 
         def eval_metrics(params, mb):

@@ -211,6 +211,126 @@ def test_lowmem_adam_fp32_matches_optax_adamw():
         np.testing.assert_allclose(np.asarray(p_low["w"]), np.asarray(p_ref["w"]), rtol=1e-6, atol=1e-8)
 
 
+def test_fused_adamw_matches_optax_chain():
+    """make_fused_adamw == the optax chain trajectory, fp32 and bf16 moments,
+    including steps where the global-norm clip triggers."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_timesfm_tpu.training.optimization import (
+        make_fused_adamw,
+        make_optimizer,
+        make_schedule,
+    )
+
+    sched = make_schedule("cosine", 1e-2, 2, 12)
+    rng = np.random.default_rng(1)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+        "b": {"w": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
+    }
+
+    for moment_dtype, tol in [(None, 1e-6), (jnp.bfloat16, 1e-6)]:
+        chain = make_optimizer(sched, weight_decay=0.01, max_grad_norm=1.0,
+                               moment_dtype=moment_dtype)
+        fused = make_fused_adamw(sched, weight_decay=0.01, max_grad_norm=1.0,
+                                 moment_dtype=moment_dtype)
+        p_ref, s_ref = params, chain.init(params)
+        p_fu, s_fu = params, fused.init(params)
+        for step in range(8):
+            # alternate small grads (no clip) and huge grads (clip triggers)
+            scale = 100.0 if step % 3 == 2 else 0.05
+            g = jax.tree.map(
+                lambda p: jnp.asarray(rng.normal(size=p.shape) * scale, jnp.float32),
+                params,
+            )
+            u, s_ref = chain.update(g, s_ref, p_ref)
+            p_ref = jax.tree.map(lambda p, du: p + du, p_ref, u)
+            p_fu, s_fu = fused.step(g, s_fu, p_fu)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=tol, atol=1e-7
+                ),
+                p_fu,
+                p_ref,
+            )
+        # moment storage dtype parity with the chain
+        if moment_dtype is not None:
+            assert all(
+                l.dtype == moment_dtype
+                for l in jax.tree.leaves(s_fu.mu) + jax.tree.leaves(s_fu.nu)
+            )
+
+
+def test_trainer_fused_optimizer_matches_chain(tmp_path):
+    """The trainer's default fused stepper reproduces the optax-chain
+    trajectory end-to-end (same data, same seed, fused_optimizer on/off).
+
+    One optimizer step, no clip: the bit-exact regime (measured 0.0 diff).
+    Multi-step runs compile to different programs (the optimizer fuses into
+    the scan differently), whose ~1e-8 gradient-rounding differences Adam's
+    near-zero-denominator sensitivity amplifies chaotically — the same growth
+    ANY recompilation exhibits, so multi-step/clip-on equivalence is pinned
+    at the optimizer level in test_fused_adamw_matches_optax_chain above."""
+    import jax
+    import numpy as _np
+
+    from multimodal_timesfm_tpu.data.dataset import PreprocessedDataset
+    from multimodal_timesfm_tpu.models.decoder import (
+        MultimodalDecoder,
+        MultimodalDecoderConfig,
+    )
+    from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
+    from multimodal_timesfm_tpu.training.trainer import MultimodalTrainer
+    from multimodal_timesfm_tpu.types import PreprocessedSample
+
+    rng = _np.random.default_rng(3)
+    samples = [
+        PreprocessedSample(
+            context=rng.normal(size=16).astype(_np.float32),
+            horizon=rng.normal(size=8).astype(_np.float32),
+            metadata={},
+        )
+        for _ in range(16)
+    ]
+
+    def run(fused):
+        decoder = MultimodalDecoder(
+            TimesFM2p5Adapter(TimesFMConfig.tiny()), MultimodalDecoderConfig()
+        )
+        params = decoder.init(jax.random.key(0))
+        trainer = MultimodalTrainer(
+            model=decoder,
+            params=params,
+            args=TrainingArguments(
+                output_dir=str(tmp_path / f"fused{fused}"),
+                per_device_train_batch_size=16,
+                num_train_epochs=1,
+                learning_rate=1e-2,
+                eval_strategy="no",
+                save_strategy="no",
+                logging_strategy="no",
+                seed=0,
+                max_grad_norm=0.0,
+            ),
+            train_dataset=PreprocessedDataset(samples, "baseline"),
+            val_dataset=PreprocessedDataset(samples[:8], "baseline"),
+            mode="baseline",
+            fused_optimizer=fused,
+        )
+        losses = [trainer.train_epoch()]
+        return losses, jax.device_get(trainer.state.trainable)
+
+    losses_f, params_f = run(True)
+    losses_c, params_c = run(False)
+    np.testing.assert_allclose(losses_f, losses_c, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8),
+        params_f,
+        params_c,
+    )
+
+
 def test_lowmem_adam_bf16_state_dtype():
     """bf16 moment storage: state leaves are actually bf16 (the HBM win)."""
     import jax.numpy as jnp
