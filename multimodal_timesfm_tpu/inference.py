@@ -13,6 +13,8 @@ z-score stats the Time-MMD loader records in metadata (``mean``/``std`` —
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,8 +41,8 @@ class Forecaster:
         model: MultimodalDecoder,
         params: Params,
         batch_size: int = 64,
-        mesh=None,
-        shard_params_fn=None,
+        mesh: Any = None,
+        shard_params_fn: Any = None,
     ) -> None:
         self.model = model
         self.batch_size = batch_size
@@ -77,13 +79,13 @@ class Forecaster:
         self._ar_fn_cache: OrderedDict = OrderedDict()
         self._fn_cache_max = 8
 
-    def _stage(self, arr):
+    def _stage(self, arr: Any) -> jax.Array:
         """Host array -> device; batch-sharded over the mesh when present."""
         if self.mesh is None:
             return jnp.asarray(arr)
         return jax.device_put(np.asarray(arr), self._batch_sharding)
 
-    def _get_fn(self, horizon: int, full: bool, with_text: bool):
+    def _get_fn(self, horizon: int, full: bool, with_text: bool) -> Any:
         cache = self._full_fn if full else self._point_fn
 
         def build():
@@ -231,7 +233,7 @@ class Forecaster:
             outs.append(np.asarray(fn(*args))[:real])
         return np.concatenate(outs, axis=0)[:, :horizon]
 
-    def _get_ar_fn(self, chunk: int, rounds: int, with_text: bool):
+    def _get_ar_fn(self, chunk: int, rounds: int, with_text: bool) -> Any:
         """Jitted whole-decode program: round 0 (with optional text fusion)
         then a ``lax.scan`` over the remaining context-sliding rounds."""
         return lru_get(
@@ -241,7 +243,7 @@ class Forecaster:
             self._fn_cache_max,
         )
 
-    def _build_ar_fn(self, chunk: int, rounds: int):
+    def _build_ar_fn(self, chunk: int, rounds: int) -> Any:
         def slide(ctx, msk, preds):
             preds = preds.astype(ctx.dtype)
             ctx = jnp.concatenate([ctx[:, chunk:], preds], axis=1)
@@ -268,7 +270,7 @@ class Forecaster:
     def forecast_dataset(
         self,
         horizon: int,
-        dataset,
+        dataset: Any,
         multimodal: bool | None = None,
         denormalize: bool = False,
         full: bool = False,

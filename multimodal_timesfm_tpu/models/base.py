@@ -93,7 +93,7 @@ class TsfmAdapter(ABC):
     # ``from_pretrained``, ``tsfm/timesfm.py:131-158`` — local paths instead
     # of HF Hub downloads; see models/convert.py) --
 
-    def load_checkpoint(self, path) -> Params:
+    def load_checkpoint(self, path: Any) -> Params:
         """Load backbone params from a local checkpoint file/dir (strict)."""
         from multimodal_timesfm_tpu.models.convert import load_backbone_checkpoint
 
@@ -105,7 +105,7 @@ class TsfmAdapter(ABC):
         raise NotImplementedError
 
     @classmethod
-    def from_pretrained(cls, path_or_repo, config=None) -> tuple["TsfmAdapter", Params]:
+    def from_pretrained(cls, path_or_repo: Any, config: Any = None) -> tuple["TsfmAdapter", Params]:
         """Create the adapter and load pretrained params from a snapshot.
 
         ``path_or_repo`` is a local snapshot directory, a checkpoint file, or

@@ -105,7 +105,7 @@ class Chronos2Config:
     remat: bool = False
     compute_dtype: Any = jnp.float32
 
-    def __post_init__(self):
+    def __post_init__(self) -> None:
         # _relative_bucket's log branch divides by max_exact = num // 2 with
         # num = buckets // 2: below 4 buckets that is a division by zero whose
         # NaN indices the bias gather silently clamps to wrong buckets.

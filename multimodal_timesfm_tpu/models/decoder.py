@@ -47,7 +47,7 @@ class MultimodalDecoder:
             "fusion": init_fusion(k_fusion, self.fusion_spec),
         }
 
-    def _encode(self, params: Params, inputs, masks, text_embeddings):
+    def _encode(self, params: Params, inputs: jax.Array, masks: jax.Array, text_embeddings: jax.Array | None) -> tuple:
         """Shared pipeline prefix: validate -> preprocess -> fuse -> forward.
 
         Returns ``(output_embeddings, normalization_stats)`` for a

@@ -35,7 +35,7 @@ _R_SOFTPLUS_0 = 1.442695041
 # ---------------------------------------------------------------------------
 
 
-def xavier_uniform(rng: jax.Array, shape: tuple[int, int], dtype=jnp.float32) -> jax.Array:
+def xavier_uniform(rng: jax.Array, shape: tuple[int, int], dtype: Any = jnp.float32) -> jax.Array:
     fan_in, fan_out = shape[0], shape[1]
     limit = math.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(rng, shape, dtype, -limit, limit)
@@ -84,12 +84,12 @@ def relu(x: jax.Array) -> jax.Array:
     return jnp.maximum(x, 0)
 
 
-def _relu_fwd(x):
+def _relu_fwd(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     y = jnp.maximum(x, 0)
     return y, y
 
 
-def _relu_bwd(y, g):
+def _relu_bwd(y: jax.Array, g: jax.Array) -> tuple[jax.Array]:
     return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
 
 
@@ -174,7 +174,7 @@ def init_residual_block(rng: jax.Array, in_dim: int, hidden_dim: int, out_dim: i
     }
 
 
-def residual_block(params: Params, x: jax.Array, act=jax.nn.swish) -> jax.Array:
+def residual_block(params: Params, x: jax.Array, act: Any = jax.nn.swish) -> jax.Array:
     h = act(dense(params["hidden"], x))
     return dense(params["output"], h) + dense(params["residual"], x)
 

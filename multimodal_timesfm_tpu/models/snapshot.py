@@ -114,7 +114,7 @@ def _pick(d: Mapping[str, Any], *names: str) -> Any:
     return None
 
 
-def _apply_aliases(cfg_cls, defaults, alias_map: dict[str, tuple[str, ...]], *sources):
+def _apply_aliases(cfg_cls: type, defaults: Any, alias_map: dict[str, tuple[str, ...]], *sources: Mapping[str, Any]) -> Any:
     """Build kwargs for ``cfg_cls`` from the first source that defines each field."""
     kwargs: dict[str, Any] = {}
     for field, names in alias_map.items():
@@ -126,7 +126,7 @@ def _apply_aliases(cfg_cls, defaults, alias_map: dict[str, tuple[str, ...]], *so
     return dataclasses.replace(defaults, **kwargs)
 
 
-def timesfm_config_from_hf(hf: Mapping[str, Any], defaults=None):
+def timesfm_config_from_hf(hf: Mapping[str, Any], defaults: Any = None) -> Any:
     """Map an HF ``config.json`` dict onto :class:`TimesFMConfig`.
 
     Upstream TimesFM 2.5 hard-codes the 200M geometry in code
@@ -160,7 +160,7 @@ def timesfm_config_from_hf(hf: Mapping[str, Any], defaults=None):
     return cfg
 
 
-def chronos2_config_from_hf(hf: Mapping[str, Any], defaults=None):
+def chronos2_config_from_hf(hf: Mapping[str, Any], defaults: Any = None) -> Any:
     """Map an HF ``config.json`` dict onto :class:`Chronos2Config`.
 
     Handles both top-level fields and the nested ``chronos_config`` dict the
@@ -193,7 +193,7 @@ def chronos2_config_from_hf(hf: Mapping[str, Any], defaults=None):
     return cfg
 
 
-def bert_config_from_hf(hf: Mapping[str, Any], defaults=None):
+def bert_config_from_hf(hf: Mapping[str, Any], defaults: Any = None) -> Any:
     """Map an HF BERT ``config.json`` onto :class:`text.bert.BertConfig`."""
     from multimodal_timesfm_tpu.text.bert import BertConfig
 
@@ -210,7 +210,7 @@ def bert_config_from_hf(hf: Mapping[str, Any], defaults=None):
     return _apply_aliases(BertConfig, defaults or BertConfig(), aliases, hf)
 
 
-def modernbert_config_from_hf(hf: Mapping[str, Any], defaults=None):
+def modernbert_config_from_hf(hf: Mapping[str, Any], defaults: Any = None) -> Any:
     """Map an HF ModernBERT ``config.json`` onto :class:`ModernBertConfig`."""
     from multimodal_timesfm_tpu.text.modernbert import ModernBertConfig
 

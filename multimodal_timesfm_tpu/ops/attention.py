@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+from typing import Any, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,7 @@ def is_tpu_backend() -> bool:
 
 
 @contextlib.contextmanager
-def force_xla_attention():
+def force_xla_attention() -> Iterator[None]:
     """Route ``causal_attention`` through the portable XLA path while tracing.
 
     The Pallas kernels lower to TPU custom calls, which cannot appear in a
@@ -73,7 +74,7 @@ def force_xla_attention():
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def softmax_lowp(logits, dtype):
+def softmax_lowp(logits: jax.Array, dtype: Any) -> jax.Array:
     """``softmax(logits, axis=-1)`` in fp32, returned AND saved in ``dtype``.
 
     Equivalent forward to ``jax.nn.softmax(logits).astype(dtype)``, but the
@@ -95,12 +96,12 @@ def softmax_lowp(logits, dtype):
     return jax.nn.softmax(logits, axis=-1).astype(dtype)
 
 
-def _softmax_lowp_fwd(logits, dtype):
+def _softmax_lowp_fwd(logits: jax.Array, dtype: Any) -> tuple[jax.Array, jax.Array]:
     w = jax.nn.softmax(logits, axis=-1).astype(dtype)
     return w, w
 
 
-def _softmax_lowp_bwd(dtype, w, g):
+def _softmax_lowp_bwd(dtype: Any, w: jax.Array, g: jax.Array) -> tuple[jax.Array]:
     w32 = w.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     dl = w32 * (g32 - jnp.sum(g32 * w32, axis=-1, keepdims=True))
@@ -110,7 +111,7 @@ def _softmax_lowp_bwd(dtype, w, g):
 softmax_lowp.defvjp(_softmax_lowp_fwd, _softmax_lowp_bwd)
 
 
-def xla_causal_attention(q, k, v, key_valid):
+def xla_causal_attention(q: jax.Array, k: jax.Array, v: jax.Array, key_valid: jax.Array) -> jax.Array:
     """Reference XLA implementation.
 
     Args:
@@ -138,13 +139,14 @@ def xla_causal_attention(q, k, v, key_valid):
 # ---------------------------------------------------------------------------
 
 
-def _masked_softmax(q, k, valid, seq):
+def _masked_softmax(q: jax.Array, k: jax.Array, valid: jax.Array, seq: int) -> jax.Array:
     """In-kernel fp32 softmax(QK^T) with causal + key-padding masking.
 
     q, k: (P*S, D) — ``P = rows // seq`` packed slices of per-slice length
     ``seq`` stacked on the row axis (P == 1 is the classic one-slice case);
-    valid: (S,) float, 1.0 = valid key, shared by every packed slice (the
-    launch packs slices of the SAME batch row — heads — per program).
+    valid: (P*S,) float, 1.0 = valid key — the per-slice (S,) mask tiled P
+    times by the LAUNCH (host-side: an in-kernel (P, S) -> (1, P*S) reshape
+    is a Mosaic "unsupported shape cast"; caught by --kernel-check on TPU).
     Returns (P*S, P*S) fp32, BLOCK-DIAGONAL over slices: cross-slice entries
     are masked exactly like causal-future ones, so packing is numerically
     identical to P separate programs while the MXU sees one (P*S)-sized
@@ -160,19 +162,14 @@ def _masked_softmax(q, k, valid, seq):
     col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     # Same slice & causal: col <= row within a slice; row//seq == col//seq
     # kills cross-slice attention (no-op when P == 1).
-    mask = (col <= row) & (row // seq == col // seq)
-    if s == seq:
-        valid_row = valid[None, :]
-    else:
-        valid_row = jnp.broadcast_to(valid[None, :], (s // seq, seq)).reshape(1, s)
-    mask &= valid_row > 0
+    mask = (col <= row) & (row // seq == col // seq) & (valid[None, :] > 0)
     logits = jnp.where(mask, logits, _NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, seq):
+def _attn_fwd_kernel(q_ref: Any, k_ref: Any, v_ref: Any, valid_ref: Any, o_ref: Any, *, seq: int) -> None:
     """One program: fused softmax(QK^T + causal + padding) V over packed slices.
 
     ``valid_ref`` is this program's (1, 1, S) block of the (B, 1, S) mask —
@@ -187,7 +184,7 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, seq):
     ).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_ref, *, seq):
+def _attn_bwd_kernel(q_ref: Any, k_ref: Any, v_ref: Any, valid_ref: Any, g_ref: Any, dq_ref: Any, dk_ref: Any, dv_ref: Any, *, seq: int) -> None:
     """Fused backward for one program (packed slices, see the forward kernel).
 
     Recomputes W = softmax(masked QK^T), then
@@ -222,39 +219,56 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, g_ref, dq_ref, dk_ref, dv_r
 # ---------------------------------------------------------------------------
 
 
-def _flatten_heads(x):
+def _flatten_heads(x: jax.Array) -> jax.Array:
     """(B, S, H, D) -> (B*H, S, D)."""
     batch, seq, heads, dim = x.shape
     return x.transpose(0, 2, 1, 3).reshape(batch * heads, seq, dim)
 
 
-def _unflatten_heads(x, batch, heads):
+def _unflatten_heads(x: jax.Array, batch: int, heads: int) -> jax.Array:
     bh, seq, dim = x.shape
     return x.reshape(batch, heads, seq, dim).transpose(0, 2, 1, 3)
 
 
-def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False, pack=1):
+def _launch(
+    kernel: Any,
+    num_outputs: int,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: jax.Array,
+    extra: tuple = (),
+    interpret: bool = False,
+    pack: int = 1,
+) -> Any:
     batch, seq, heads, dim = q.shape
     if pack < 1 or heads % pack:
         raise ValueError(f"pack ({pack}) must divide num_heads ({heads})")
-    # (B, 1, S) — NOT repeated per head. The singleton middle axis makes the
-    # mask block's trailing dims (1, S) EQUAL the array's trailing dims, which
-    # the Mosaic TPU lowering requires (a (1, S) block over a (B, S) array has
-    # second-to-last block dim 1 vs array dim B — rejected unless B == 1;
-    # caught on-TPU at context 16384, invisible to CPU interpret tests).
-    valid = key_valid.astype(jnp.float32)[:, None, :]
+    # (B, 1, pack*S) — NOT repeated per head. The singleton middle axis makes
+    # the mask block's trailing dims (1, pack*S) EQUAL the array's trailing
+    # dims, which the Mosaic TPU lowering requires (a (1, S) block over a
+    # (B, S) array has second-to-last block dim 1 vs array dim B — rejected
+    # unless B == 1; caught on-TPU at context 16384, invisible to CPU
+    # interpret tests). The per-slice mask is tiled ``pack`` times HOST-side:
+    # an in-kernel (pack, S) -> (1, pack*S) reshape is a Mosaic "unsupported
+    # shape cast" (caught by --kernel-check); the tile costs B * pack*S
+    # floats of HBM, shared by all head programs of a batch row.
+    valid = key_valid.astype(jnp.float32)
+    if pack > 1:
+        valid = jnp.tile(valid, (1, pack))
+    valid = valid[:, None, :]
     # ``pack`` consecutive (batch*head) slices run in ONE program as a
     # (pack*S, D) block — at small S the per-slice matmuls starve the MXU
     # (S=16 is an eighth of one 128-lane tile), so packing head slices row-
     # wise turns them into one MXU-sized matmul; the kernel masks cross-slice
     # entries (exact, see _masked_softmax). pack must divide heads so every
-    # slice in a program shares one batch row (=> one (S,) padding mask).
+    # slice in a program shares one batch row (=> one shared padding mask).
     spec = pl.BlockSpec((1, pack * seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Each program reads only its batch row's mask block; the index map folds
-    # the head dim, so VMEM holds (1, S) instead of the full (B*H, S) array
-    # (which scaled with batch*heads and blew the budget at large B*H).
+    # the head dim, so VMEM holds (1, pack*S) instead of the full (B*H, S)
+    # array (which scaled with batch*heads and blew the budget at large B*H).
     mask_spec = pl.BlockSpec(
-        (1, 1, seq), lambda i: (i * pack // heads, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, pack * seq), lambda i: (i * pack // heads, 0, 0), memory_space=pltpu.VMEM
     )
 
     grid = (batch * heads // pack,)
@@ -295,7 +309,14 @@ def _launch(kernel, num_outputs, q, k, v, key_valid, extra=(), interpret=False, 
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_causal_attention(q, k, v, key_valid, interpret=False, pack=1):
+def fused_causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: jax.Array,
+    interpret: bool = False,
+    pack: int = 1,
+) -> jax.Array:
     """Pallas-fused causal attention; differentiable (Pallas backward kernel).
 
     ``pack`` packs that many consecutive head slices per program (see
@@ -304,13 +325,13 @@ def fused_causal_attention(q, k, v, key_valid, interpret=False, pack=1):
     return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret, pack=pack)
 
 
-def _fwd(q, k, v, key_valid, interpret, pack):
+def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, key_valid: jax.Array, interpret: bool, pack: int) -> Any:
     return _launch(
         _attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret, pack=pack
     ), (q, k, v, key_valid)
 
 
-def _bwd(interpret, pack, residuals, g):
+def _bwd(interpret: bool, pack: int, residuals: tuple, g: jax.Array) -> tuple:
     q, k, v, key_valid = residuals
     dq, dk, dv = _launch(
         _attn_bwd_kernel, 3, q, k, v, key_valid, extra=(g,), interpret=interpret, pack=pack
@@ -321,7 +342,13 @@ def _bwd(interpret, pack, residuals, g):
 fused_causal_attention.defvjp(_fwd, _bwd)
 
 
-def flash_causal_attention(q, k, v, key_valid, interpret=False):
+def flash_causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
     """Tiled FlashAttention path for sequences beyond the whole-sequence cap.
 
     Wraps JAX's Pallas TPU flash-attention kernels (tiled online-softmax

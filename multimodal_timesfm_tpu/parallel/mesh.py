@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Any
 
 import jax
 import numpy as np
@@ -79,7 +80,7 @@ def pad_to_multiple(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m)
 
 
-def put_global(x, sharding: NamedSharding):
+def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
     """``device_put`` that also works on multi-process (multi-host) meshes.
 
     ``jax.device_put`` requires every device in the sharding to be
@@ -96,7 +97,7 @@ def put_global(x, sharding: NamedSharding):
     return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
     """Place a pytree of batch-leading host arrays onto the mesh, data-sharded.
 
     Batch dims must already be divisible by the data-axis size (the trainer

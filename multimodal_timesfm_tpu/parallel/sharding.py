@@ -57,7 +57,7 @@ def _spec_for(path: tuple[str, ...], ndim: int) -> P:
     return P()
 
 
-def _iter_specs(tree: Any):
+def _iter_specs(tree: Any) -> Any:
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     specs = []
     for path, leaf in flat:

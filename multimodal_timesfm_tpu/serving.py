@@ -20,6 +20,8 @@ Parity with the in-process JAX forward is tested to fp32 round-off
 
 from __future__ import annotations
 
+from typing import Any
+
 import json
 from pathlib import Path
 
@@ -207,7 +209,7 @@ def _write_npz_atomic(path: Path, leaves: dict) -> None:
         tmp.unlink(missing_ok=True)
 
 
-def _unflatten_params(npz, leaf_spec: dict, list_lens: dict):
+def _unflatten_params(npz: Any, leaf_spec: dict, list_lens: dict) -> dict:
     """Inverse of :func:`_flatten_params` (lists come back as lists)."""
     root: dict = {}
     for name, meta in leaf_spec.items():
@@ -373,7 +375,7 @@ def export_stablehlo(
     return output_dir
 
 
-def load_stablehlo(artifact_dir: str | Path):
+def load_stablehlo(artifact_dir: str | Path) -> Any:
     """Load a :func:`export_stablehlo` artifact into a serving callable.
 
     Needs only jax — no model code, no framework import, and no pickle

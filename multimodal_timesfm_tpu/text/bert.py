@@ -52,7 +52,7 @@ class BertConfig:
         return cls(vocab_size=128, hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32)
 
 
-def _normal(rng, shape, std=0.02):
+def _normal(rng: jax.Array, shape: tuple, std: float = 0.02) -> jax.Array:
     return jax.random.normal(rng, shape) * std
 
 
@@ -91,11 +91,11 @@ def init_bert(rng: jax.Array, cfg: BertConfig) -> Params:
     return params
 
 
-def _dense(p, x):
+def _dense(p: Params, x: jax.Array) -> jax.Array:
     return jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p["bias"]
 
 
-def _ln(p, x, eps):
+def _ln(p: Params, x: jax.Array, eps: float) -> jax.Array:
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
@@ -152,5 +152,5 @@ def bert_encode(
 
 
 @partial(jax.jit, static_argnums=(1,))
-def bert_encode_jit(params, cfg, input_ids, attention_mask):
+def bert_encode_jit(params: Params, cfg: BertConfig, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
     return bert_encode(params, cfg, input_ids, attention_mask)

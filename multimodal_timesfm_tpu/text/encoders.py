@@ -18,6 +18,8 @@ with the pretrained models (flagged via ``is_pretrained``).
 
 from __future__ import annotations
 
+from typing import Any
+
 from abc import ABC, abstractmethod
 from pathlib import Path
 
@@ -69,10 +71,10 @@ class TextEncoderBase(ABC):
     # -- model-specific hooks --
 
     @abstractmethod
-    def _init_params(self, rng: jax.Array): ...
+    def _init_params(self, rng: jax.Array) -> Any: ...
 
     @abstractmethod
-    def _load_pretrained(self, model_dir: Path): ...
+    def _load_pretrained(self, model_dir: Path) -> Any: ...
 
     @abstractmethod
     def _encode_arrays(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array: ...
@@ -112,10 +114,10 @@ class EnglishTextEncoder(TextEncoderBase):
         self.config = BertConfig.minilm_l6()
         super().__init__(embedding_dim, model_dir)
 
-    def _init_params(self, rng):
+    def _init_params(self, rng: jax.Array) -> Any:
         return init_bert(rng, self.config)
 
-    def _load_pretrained(self, model_dir: Path):
+    def _load_pretrained(self, model_dir: Path) -> Any:
         from multimodal_timesfm_tpu.models.snapshot import bert_config_from_hf, read_hf_config
         from multimodal_timesfm_tpu.text.convert import load_hf_bert
 
@@ -124,13 +126,13 @@ class EnglishTextEncoder(TextEncoderBase):
             self.config = bert_config_from_hf(hf, defaults=self.config)
         return load_hf_bert(model_dir, self.config)
 
-    def _encode_arrays(self, ids, mask):
+    def _encode_arrays(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array:
         return bert_encode_jit(self.params, self.config, ids, mask)
 
-    def _vocab_size(self):
+    def _vocab_size(self) -> int:
         return self.config.vocab_size
 
-    def _hidden_size(self):
+    def _hidden_size(self) -> int:
         return self.config.hidden_size
 
 
@@ -147,10 +149,10 @@ class JapaneseTextEncoder(TextEncoderBase):
         self.config = ModernBertConfig.ruri_v3_310m()
         super().__init__(embedding_dim, model_dir)
 
-    def _init_params(self, rng):
+    def _init_params(self, rng: jax.Array) -> Any:
         return init_modernbert(rng, self.config)
 
-    def _load_pretrained(self, model_dir: Path):
+    def _load_pretrained(self, model_dir: Path) -> Any:
         from multimodal_timesfm_tpu.models.snapshot import (
             modernbert_config_from_hf,
             read_hf_config,
@@ -166,7 +168,7 @@ class JapaneseTextEncoder(TextEncoderBase):
         # transformers (offline).
         return params, HFTokenizerWrapper(model_dir)
 
-    def _encode_arrays(self, ids, mask):
+    def _encode_arrays(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array:
         import jax.numpy as jnp
 
         # Jitted like the English path (bert_encode_jit) — eager dispatch of
@@ -176,10 +178,10 @@ class JapaneseTextEncoder(TextEncoderBase):
             self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
         )
 
-    def _vocab_size(self):
+    def _vocab_size(self) -> int:
         return self.config.vocab_size
 
-    def _hidden_size(self):
+    def _hidden_size(self) -> int:
         return self.config.hidden_size
 
 

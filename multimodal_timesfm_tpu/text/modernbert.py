@@ -66,7 +66,7 @@ class ModernBertConfig:
         )
 
 
-def _normal(rng, shape, std=0.02):
+def _normal(rng: jax.Array, shape: tuple, std: float = 0.02) -> jax.Array:
     return jax.random.normal(rng, shape) * std
 
 
@@ -180,7 +180,7 @@ def modernbert_encode(
 
 
 @partial(jax.jit, static_argnums=(1,))
-def modernbert_encode_jit(params, cfg, input_ids, attention_mask):
+def modernbert_encode_jit(params: Params, cfg: ModernBertConfig, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
     """Jitted encode (cfg is frozen/hashable, so it keys the trace): the cache
     build embeds thousands of texts through 25 layers — eagerly that is
     hundreds of per-op dispatches per batch."""

@@ -7,6 +7,8 @@ source is unavailable, callers fall back to the pure-Python tokenizer.
 
 from __future__ import annotations
 
+from typing import Any
+
 import ctypes
 import subprocess
 from pathlib import Path
@@ -40,7 +42,7 @@ def _build() -> bool:
 _lib = None
 
 
-def load_library():
+def load_library() -> Any:
     """Load (building if needed) the native library, or return None."""
     global _lib
     if _lib is not None:
@@ -84,7 +86,7 @@ class NativeWordPiece:
         n = self._lib.wp_encode(self._handle, text.encode("utf-8"), max_length, buf)
         return list(buf[:n])
 
-    def __del__(self):  # pragma: no cover
+    def __del__(self) -> None:  # pragma: no cover
         if getattr(self, "_handle", None):
             self._lib.wp_destroy(self._handle)
             self._handle = None

@@ -13,6 +13,8 @@ clearly not embedding-parity and is flagged via ``is_hash_fallback``.
 
 from __future__ import annotations
 
+from typing import Any
+
 import hashlib
 import unicodedata
 from pathlib import Path
@@ -196,7 +198,7 @@ class HFTokenizerWrapper:
     interface as :class:`WordPieceTokenizer`.
     """
 
-    def __init__(self, model_dir) -> None:
+    def __init__(self, model_dir: Any) -> None:
         from transformers import AutoTokenizer
 
         self._tok = AutoTokenizer.from_pretrained(str(model_dir), local_files_only=True)

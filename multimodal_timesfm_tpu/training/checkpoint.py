@@ -18,6 +18,8 @@ Backends:
 
 from __future__ import annotations
 
+from typing import Any
+
 import pickle
 import shutil
 from pathlib import Path
@@ -63,7 +65,7 @@ def save_checkpoint(path: Path, payload: dict, backend: str = "pickle") -> None:
     tmp.replace(path)
 
 
-def load_checkpoint(path: Path, target=None) -> dict:
+def load_checkpoint(path: Path, target: Any = None) -> dict:
     """Load a checkpoint (auto-detects backend: orbax dirs vs pickle files)."""
     path = Path(path)
     if path.is_dir():
@@ -96,7 +98,7 @@ def rotate_checkpoints(checkpoint_dir: Path, save_total_limit: int) -> None:
         _logger.info("Deleted old checkpoint: %s", checkpoint.name)
 
 
-def restructure_like(template, restored):
+def restructure_like(template: Any, restored: Any) -> Any:
     """Rebuild plain-container ``restored`` data into ``template``'s pytree.
 
     An orbax restore without a ``target`` returns plain containers —

@@ -13,6 +13,8 @@ quantile heads its Chronos backbone produces.
 
 from __future__ import annotations
 
+from typing import Any
+
 import math
 
 import jax
@@ -40,7 +42,7 @@ _EVAL_CACHE: OrderedDict[tuple, object] = OrderedDict()
 _EVAL_CACHE_MAX = 8
 
 
-def _eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool = False):
+def _eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool = False) -> Any:
     key = (id(model), horizon_len, quantile_metrics)
     return lru_get(
         _EVAL_CACHE,
@@ -50,7 +52,7 @@ def _eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool 
     )
 
 
-def _build_eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool):
+def _build_eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics: bool) -> Any:
     if quantile_metrics:
         levels, mean_channel = model.adapter.quantile_loss_spec
         levels_arr = jnp.asarray(levels, jnp.float32)
@@ -92,14 +94,14 @@ def _build_eval_fn(model: MultimodalDecoder, horizon_len: int, quantile_metrics:
 class MultimodalEvaluator:
     """Computes evaluation metrics for a multimodal decoder."""
 
-    def __init__(self, model: MultimodalDecoder, mesh=None) -> None:
+    def __init__(self, model: MultimodalDecoder, mesh: Any = None) -> None:
         self.model = model
         self.mesh = mesh
 
     def evaluate(
         self,
         params: Params,
-        dataset,
+        dataset: Any,
         batch_size: int = 8,
         multimodal: bool | None = None,
         quantile_metrics: bool = False,

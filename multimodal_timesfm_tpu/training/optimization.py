@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +76,7 @@ def scale_by_adam_lowmem(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
-    moment_dtype=jnp.bfloat16,
+    moment_dtype: Any = jnp.bfloat16,
 ) -> optax.GradientTransformation:
     """Adam moment estimation with reduced-precision moment *storage*.
 
@@ -208,7 +208,7 @@ def make_fused_adamw(
     schedule: Callable,
     weight_decay: float,
     max_grad_norm: float,
-    moment_dtype=None,
+    moment_dtype: Any = None,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -285,7 +285,7 @@ def make_optimizer(
     schedule: Callable,
     weight_decay: float,
     max_grad_norm: float,
-    moment_dtype=None,
+    moment_dtype: Any = None,
 ) -> optax.GradientTransformation:
     """Global-norm clip (if enabled) -> AdamW with torch-default betas/eps.
 

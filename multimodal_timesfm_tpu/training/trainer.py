@@ -73,11 +73,11 @@ class TrainState:
     trainable: Params
     opt_state: Any
 
-    def tree_flatten(self):  # pragma: no cover - registered below
+    def tree_flatten(self) -> tuple:  # pragma: no cover - registered below
         return (self.trainable, self.opt_state), None
 
     @classmethod
-    def tree_unflatten(cls, aux, children):  # pragma: no cover
+    def tree_unflatten(cls, aux: Any, children: tuple) -> "TrainState":  # pragma: no cover
         return cls(*children)
 
 
@@ -86,7 +86,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def quantile_objective(full, horizon, weights, denom, spec):
+def quantile_objective(full: jax.Array, horizon: jax.Array, weights: jax.Array, denom: jax.Array, spec: tuple) -> jax.Array:
     """Quantile training objective shared by the trainer and vectorized sweeps.
 
     Mean pinball loss over the adapter's quantile channels, plus MSE on its
@@ -142,15 +142,15 @@ class MultimodalTrainer:
         model: MultimodalDecoder,
         params: Params,
         args: TrainingArguments,
-        train_dataset,
-        val_dataset,
+        train_dataset: Any,
+        val_dataset: Any,
         mode: TrainingMode,
-        mesh=None,
-        wandb_run=None,
-        shard_params_fn=None,
+        mesh: Any = None,
+        wandb_run: Any = None,
+        shard_params_fn: Any = None,
         max_device_dataset_bytes: int = 4 << 30,
-        frozen_cast_dtype=None,
-        trainable_cast_dtype=None,
+        frozen_cast_dtype: Any = None,
+        trainable_cast_dtype: Any = None,
         ckpt_backend: str = "pickle",
         fuse_epochs: bool | None = None,
         fold_frozen_seq1: bool = True,
@@ -351,7 +351,7 @@ class MultimodalTrainer:
         params[self.trainable_key] = trainable
         return params
 
-    def _loss_fn(self, trainable, frozen, context, horizon, text, weights):
+    def _loss_fn(self, trainable: Params, frozen: Params, context: jax.Array, horizon: jax.Array, text: jax.Array | None, weights: jax.Array) -> jax.Array:
         """Weighted training loss; weights zero out padded rows.
 
         ``loss_type="mse"`` is the reference objective (point-channel MSE,
@@ -379,14 +379,14 @@ class MultimodalTrainer:
             self.model.adapter.quantile_loss_spec,
         )
 
-    def _batch_constraint(self, tree):
+    def _batch_constraint(self, tree: Any) -> Any:
         """Constrain a gathered micro-batch to data-axis sharding (no-op without a mesh)."""
         if self.mesh is None:
             return tree
         spec = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
         return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, spec), tree)
 
-    def _gather(self, data, idx, weights):
+    def _gather(self, data: dict, idx: jax.Array, weights: jax.Array) -> dict:
         """Device-side micro-batch gather: rows ``idx`` of each dataset array."""
         mb = {k: v[idx] for k, v in data.items()}
         mb["weights"] = weights
@@ -572,7 +572,7 @@ class MultimodalTrainer:
     # host-side epoch index staging (tiny transfers; data already on device)
     # ------------------------------------------------------------------
 
-    def _to_device(self, data: StackedDataset):
+    def _to_device(self, data: StackedDataset) -> dict:
         tree = {"context": data.context, "horizon": data.horizon}
         if data.text_embeddings is not None:
             tree["text"] = data.text_embeddings
@@ -584,7 +584,7 @@ class MultimodalTrainer:
             return jax.tree.map(lambda x: put_global(x, rep), tree)
         return jax.tree.map(jnp.asarray, tree)
 
-    def _epoch_indices(self, n: int, batch: int, shuffle: bool, accum: int):
+    def _epoch_indices(self, n: int, batch: int, shuffle: bool, accum: int) -> tuple:
         """Device-placed (perm, weights, num_batches); see ``build_epoch_indices``."""
         perm, weights, num_batches = build_epoch_indices(
             n, batch, shuffle, accum, self._dp, self._rng
@@ -594,7 +594,7 @@ class MultimodalTrainer:
             return put_global(perm, rep), put_global(weights, rep), num_batches
         return jnp.asarray(perm), jnp.asarray(weights), num_batches
 
-    def _materialize(self, data: StackedDataset, perm, weights):
+    def _materialize(self, data: StackedDataset, perm: Any, weights: Any) -> dict:
         """Host-gather epoch batches into the (steps, accum, B, ...) scan layout."""
         take = np.asarray(perm).reshape(-1)
         lead = perm.shape  # (num_steps, accum, B)
@@ -842,7 +842,7 @@ class MultimodalTrainer:
                 restored = jax.device_put(restored, replicated(self.mesh))
         self.state = TrainState(restored, self.state.opt_state)
 
-    def resume_from_checkpoint(self, path) -> None:
+    def resume_from_checkpoint(self, path: Any) -> None:
         """Mid-run resume: restore params, optimizer state, and counters.
 
         An improvement over the reference, which saves optimizer/scheduler

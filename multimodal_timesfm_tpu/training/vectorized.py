@@ -52,7 +52,7 @@ def adamw_init(trainable: Pytree) -> dict:
     }
 
 
-def schedule_scale(count, warmup, total: int, kind: str):
+def schedule_scale(count: jax.Array, warmup: Any, total: int, kind: str) -> jax.Array:
     """Traced-warmup version of ``training/optimization.make_schedule`` shapes."""
     t = count.astype(jnp.float32)
     w = jnp.asarray(warmup, jnp.float32)
@@ -71,8 +71,8 @@ def adamw_update(
     grads: Pytree,
     state: dict,
     params: Pytree,
-    lr,
-    weight_decay,
+    lr: Any,
+    weight_decay: Any,
     *,
     max_grad_norm: float,
     b1: float = 0.9,
@@ -128,9 +128,9 @@ _FUSED_CACHE_MAX = 8
 
 
 def _fused_trials_fn(
-    model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm,
-    loss_type="mse",
-):
+    model: Any, trainable_key: str, horizon_len: int, accum: int, scheduler: str,
+    total_steps: int, max_grad_norm: float, loss_type: str = "mse",
+) -> Any:
     key = (
         id(model), trainable_key, horizon_len, accum, scheduler, total_steps,
         max_grad_norm, loss_type,
@@ -147,9 +147,9 @@ def _fused_trials_fn(
 
 
 def _build_fused_trials_fn(
-    model, trainable_key, horizon_len, accum, scheduler, total_steps, max_grad_norm,
-    loss_type,
-):
+    model: Any, trainable_key: str, horizon_len: int, accum: int, scheduler: str,
+    total_steps: int, max_grad_norm: float, loss_type: str,
+) -> Any:
     # NOTE: ``frozen`` and the datasets are threaded as explicit jit
     # arguments, never closed over — closure arrays are embedded into the
     # serialized program as constants, which blows up compile payloads by the
@@ -256,7 +256,7 @@ class TrialResults:
 
 
 def run_vectorized_trials(
-    model,
+    model: Any,
     frozen: Params,
     trainable_inits: Pytree,
     train_data: dict,
@@ -273,7 +273,7 @@ def run_vectorized_trials(
     seed: int = 0,
     seed_stride: int = 1,
     eval_batch_size: int | None = None,
-    mesh=None,
+    mesh: Any = None,
     loss_type: str = "mse",
 ) -> TrialResults:
     """Train T trials simultaneously (one jitted dispatch).
@@ -395,12 +395,12 @@ def run_vectorized_trials(
     )
 
 
-def trial_sharding(mesh) -> jax.sharding.NamedSharding:
+def trial_sharding(mesh: Any) -> jax.sharding.NamedSharding:
     """Sharding that splits a leading trial axis over the mesh's data axis."""
     return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
 
 
-def _stacked_zeros(shape, dtype, sharding):
+def _stacked_zeros(shape: tuple, dtype: Any, sharding: Any) -> jax.Array:
     """Zeros of ``shape``; built per-shard host-side when ``sharding`` given.
 
     ``jnp.zeros`` commits to the default device, and going through
@@ -431,7 +431,7 @@ def stack_trainables(trainables: list[Pytree]) -> Pytree:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trainables)
 
 
-def replicate_trainables(trainable: Pytree, t_trials: int, sharding=None) -> Pytree:
+def replicate_trainables(trainable: Pytree, t_trials: int, sharding: Any = None) -> Pytree:
     """Stack ``t_trials`` copies of ONE init onto the trial axis.
 
     Equivalent to ``stack_trainables([trainable] * t_trials)`` (the sweep
@@ -497,7 +497,7 @@ def vectorized_max_trials(
 _EVAL_CACHE: OrderedDict[tuple, Any] = OrderedDict()
 
 
-def _eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
+def _eval_trials_fn(model: Any, trainable_key: str, horizon_len: int, has_text: bool, nb: int) -> Any:
     key = (id(model), trainable_key, horizon_len, has_text, nb)
     return lru_get(
         _EVAL_CACHE,
@@ -507,7 +507,7 @@ def _eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
     )
 
 
-def _build_eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
+def _build_eval_trials_fn(model: Any, trainable_key: str, horizon_len: int, has_text: bool, nb: int) -> Any:
     # frozen/data as explicit args (not closures) — see run_vectorized_trials.
     def one_trial(trainable, frozen, jdata, perm, w):
         params = dict(frozen)
@@ -532,7 +532,7 @@ def _build_eval_trials_fn(model, trainable_key, horizon_len, has_text, nb):
 
 
 def evaluate_vectorized(
-    model,
+    model: Any,
     frozen: Params,
     trainables: Pytree,
     data: dict,
@@ -540,7 +540,7 @@ def evaluate_vectorized(
     horizon_len: int,
     batch_size: int,
     trainable_key: str = "fusion",
-    mesh=None,
+    mesh: Any = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample-weighted test MSE/MAE per trial (same aggregation as
     ``MultimodalEvaluator``), vmapped over the trial axis. Returns (T,) x2.

@@ -15,14 +15,14 @@ model alive — a dead-object id can never be reused while its entry exists.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Callable, TypeVar
+from typing import Any, Callable, TypeVar
 
 V = TypeVar("V")
 
 
 def lru_get(
     cache: OrderedDict,
-    key,
+    key: Any,
     factory: Callable[[], V],
     max_size: int,
 ) -> V:

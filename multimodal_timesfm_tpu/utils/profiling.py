@@ -8,6 +8,8 @@ series-per-second counters — the north-star metric bench.py reports.
 
 from __future__ import annotations
 
+from typing import Any
+
 import contextlib
 import time
 from dataclasses import dataclass, field
@@ -17,7 +19,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str | Path, enabled: bool = True):
+def trace(log_dir: str | Path, enabled: bool = True) -> Any:
     """Profile the enclosed block to ``log_dir`` (no-op when disabled)."""
     if not enabled:
         yield

@@ -28,7 +28,7 @@ from typing import Any
 import numpy as np
 
 
-def try_import_wandb():
+def try_import_wandb() -> Any:
     """Return the wandb module or None (optional dependency)."""
     try:
         import wandb
@@ -54,10 +54,10 @@ class LocalRun:
         with open(self._log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
-    def __enter__(self):
+    def __enter__(self) -> "LocalRun":
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, *exc: Any) -> bool:
         return False
 
 
@@ -67,19 +67,19 @@ class _Config:
     def __init__(self, values: dict[str, Any]) -> None:
         self._values = dict(values)
 
-    def __getattr__(self, name: str):
+    def __getattr__(self, name: str) -> Any:
         try:
             return self._values[name]
         except KeyError as e:
             raise AttributeError(name) from e
 
-    def get(self, name: str, default=None):
+    def get(self, name: str, default: Any = None) -> Any:
         return self._values.get(name, default)
 
-    def __iter__(self):
+    def __iter__(self) -> Any:
         return iter(self._values)
 
-    def items(self):
+    def items(self) -> Any:
         return self._values.items()
 
 
@@ -159,7 +159,7 @@ class LocalSweep:
             raise ValueError(f"Unsupported parameter spec: {spec}")
         return dist
 
-    def _sample_one(self, spec: dict[str, Any]):
+    def _sample_one(self, spec: dict[str, Any]) -> Any:
         if "value" in spec:
             return spec["value"]
         if "values" in spec:
@@ -178,7 +178,7 @@ class LocalSweep:
     # -- TPE ---------------------------------------------------------------
 
     @classmethod
-    def _continuous_space(cls, spec: dict[str, Any]):
+    def _continuous_space(cls, spec: dict[str, Any]) -> tuple | None:
         """(lo, hi, to_internal, from_internal) for a continuous/int spec, else None."""
         try:
             dist = cls._resolve_distribution(spec)
@@ -196,7 +196,7 @@ class LocalSweep:
             return lo, hi, float, lambda x: int(round(min(max(x, lo), hi)))
         return lo, hi, float, float
 
-    def _tpe_continuous(self, spec, good: list[float], bad: list[float]):
+    def _tpe_continuous(self, spec: dict[str, Any], good: list[float], bad: list[float]) -> tuple | None:
         """Candidates + scorer for one continuous parameter (internal space)."""
         lo, hi, _, _ = self._continuous_space(spec)
         width = max(hi - lo, 1e-12)
@@ -227,7 +227,7 @@ class LocalSweep:
         score = np.log(density(cand, good, bw_g)) - np.log(density(cand, bad, bw_b))
         return cand, score
 
-    def _tpe_categorical(self, spec, good: list, bad: list):
+    def _tpe_categorical(self, spec: dict[str, Any], good: list, bad: list) -> tuple:
         values = spec["values"]
 
         def probs(obs):
@@ -327,7 +327,7 @@ class LocalSweep:
         with open(self._state_path, "a") as f:
             f.write(json.dumps({"config": dict(config), "value": float(oriented)}) + "\n")
 
-    def agent(self, function, count: int | None = None) -> None:
+    def agent(self, function: Any, count: int | None = None) -> None:
         """Run ``count`` trials (default 1), each inside a LocalRun context.
 
         Trial failures are isolated — a crashed trial logs its error and the

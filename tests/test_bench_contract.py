@@ -93,7 +93,9 @@ def test_kernel_check_passes_on_cpu(capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["metric"] == "attention_kernel_check"
     assert payload["failures"] == 0
-    assert {r["path"] for r in payload["rows"]} == {"whole-seq", "flash"}
+    assert {r["path"] for r in payload["rows"]} == {
+        "whole-seq", "flash", "packed-16x16", "packed-64x4",
+    }
     assert all(r["ok"] for r in payload["rows"])
 
 
