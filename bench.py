@@ -327,10 +327,11 @@ def build_trainer(
         # crash the workload build.
         fold_frozen_seq1=os.environ.get("MTT_BENCH_NO_FOLD", "0").strip().lower()
         not in ("1", "true", "yes"),
-        # A/B knob: MTT_BENCH_NO_FUSED_OPT=1 falls back to the optax-chain
-        # optimizer (trainer default: the fused single-pass AdamW step).
-        fused_optimizer=os.environ.get("MTT_BENCH_NO_FUSED_OPT", "0").strip().lower()
-        not in ("1", "true", "yes"),
+        # A/B knob: MTT_BENCH_FUSED_OPT=1 swaps in the fused single-pass
+        # AdamW step (measured neutral vs the default optax chain on the
+        # baseline workload — 100.8k vs 102.5k series/s back-to-back, r4).
+        fused_optimizer=os.environ.get("MTT_BENCH_FUSED_OPT", "0").strip().lower()
+        in ("1", "true", "yes"),
     )
     return trainer, cfg
 
@@ -751,7 +752,7 @@ def attention_bench(dtype: str) -> int:
     # c512/c2048 workloads run 16/64 tokens at batch 256/64), classic S at 8.
     cases = [
         (16, 256, (1, 4, 8, 16)),
-        (64, 64, (1, 2, 4)),
+        (64, 64, (1, 4, 8, 16)),
         (64, 8, (1,)),
         (128, 8, (1,)),
         (256, 8, (1,)),
@@ -907,11 +908,82 @@ def kernel_check(dtype: str) -> int:
     def packed(p):
         return lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret, p)
 
+    def compare_bidir(name, seq, pack, batch=4, heads=12, dim=64):
+        """Bidirectional + rel-pos-bias kernel vs its XLA oracle (fwd + grads
+        incl. the in-kernel batch-accumulated d_bias — the Mosaic output-
+        revisit pattern CPU interpret tests cannot lowering-check)."""
+        nonlocal failures
+        from multimodal_timesfm_tpu.ops.bidir_attention import (
+            fused_bidir_attention,
+            make_packed_bias,
+            xla_bidir_attention,
+        )
+
+        rng = np.random.default_rng(seq)
+        scale = 1.0 / np.sqrt(dim)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(batch, seq, heads, dim)) * scale, comp_dtype)
+            for _ in range(3)
+        )
+        bias = jnp.asarray(rng.normal(size=(heads, seq, seq)) * 0.1, jnp.float32)
+        lengths = np.linspace(seq // 4, seq, batch, dtype=int)
+        valid = jnp.asarray(np.arange(seq)[None, :] < lengths[:, None])
+
+        def loss_of(attn):
+            def loss(q, k, v, bias):
+                return jnp.sum(attn(q, k, v, bias).astype(jnp.float32) ** 2)
+
+            return loss
+
+        def fused(q, k, v, bias):
+            exp = make_packed_bias(bias, pack, seq)
+            return fused_bidir_attention(q, k, v, valid, exp, interpret, pack)
+
+        def oracle(q, k, v, bias):
+            return xla_bidir_attention(q, k, v, valid, bias)
+
+        if interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            ctx = pltpu.force_tpu_interpret_mode()
+        else:
+            ctx = contextlib.nullcontext()
+        try:
+            with ctx:
+                out = jax.jit(fused)(q, k, v, bias)
+                ref = jax.jit(oracle)(q, k, v, bias)
+                g = jax.jit(jax.grad(loss_of(fused), argnums=(0, 1, 2, 3)))(q, k, v, bias)
+                gr = jax.jit(jax.grad(loss_of(oracle), argnums=(0, 1, 2, 3)))(q, k, v, bias)
+            fwd_diff = float(
+                np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)))
+            )
+            grad_diff = max(
+                float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+                for a, b in zip(g, gr)
+            )
+            ok = bool(fwd_diff <= atol and grad_diff <= 4 * atol)
+            rows.append(
+                {
+                    "path": name,
+                    "seq": seq,
+                    "fwd_max_diff": fwd_diff,
+                    "grad_max_diff": grad_diff,
+                    "ok": ok,
+                }
+            )
+        except Exception as exc:
+            rows.append({"path": name, "seq": seq, "ok": False, "error": repr(exc)})
+            ok = False
+        failures += not ok
+        _log(f"[kernel-check] {rows[-1]}")
+
     compare("whole-seq", whole, 512)
     # Small-S packed variants: the production geometries pallas_pack selects
-    # (S=16 -> pack 16 at 16 heads, S=64 -> pack 4), plus ragged padding.
+    # (S=16 -> pack 16 at 16 heads, S=64 -> pack 8), plus ragged padding.
     compare("packed-16x16", packed(16), 16, batch=8, heads=16, dim=80)
-    compare("packed-64x4", packed(4), 64, batch=8, heads=16, dim=80)
+    compare("packed-64x8", packed(8), 64, batch=8, heads=16, dim=80)
+    # Chronos encoder geometry (padded 67 -> 72 tokens, 12 heads, pack 6).
+    compare_bidir("bidir-72x6", 72, 6)
     if on_device:
         compare("whole-seq", whole, 1024)  # backward VMEM upper bound
         compare("flash", flash, 2100)  # non-128-multiple: tile-padding route

@@ -111,6 +111,18 @@ class Chronos2Config:
         # NaN indices the bias gather silently clamps to wrong buckets.
         if self.rel_pos_buckets < 4:
             raise ValueError(f"rel_pos_buckets must be >= 4, got {self.rel_pos_buckets}")
+        # The architecture ties the two patch sizes: future placeholder
+        # patches are built at output_patch_size but embedded by the SAME
+        # input_patch_embedding as context patches (reference chronos.py:
+        # 82-99; the checkpoint pins both to 16). Unequal sizes would fail
+        # deep inside forward with an opaque dot_general shape error.
+        if self.input_patch_size != self.output_patch_size:
+            raise ValueError(
+                "Chronos-2 requires input_patch_size == output_patch_size "
+                f"(got {self.input_patch_size} != {self.output_patch_size}): "
+                "the shared input_patch_embedding embeds both context and "
+                "future patches. Adjust the horizon via max_output_patches."
+            )
 
     @property
     def num_quantiles(self) -> int:
@@ -224,8 +236,10 @@ def chronos_encoder(
     pos = jnp.arange(seq)
     rel = pos[None, :] - pos[:, None]  # key - query
     buckets = _relative_bucket(rel, cfg.rel_pos_buckets, cfg.rel_pos_max_distance)
-    bias = params["rel_pos_bias"][buckets]  # (S, S, H)
-    bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, S, S)
+    bias_hss = jnp.transpose(params["rel_pos_bias"][buckets], (2, 0, 1)).astype(
+        jnp.float32
+    )  # (H, S, S)
+    bias = bias_hss[None]  # (1, H, S, S)
 
     neg = jnp.finfo(jnp.float32).min
     allowed = attention_mask[:, None, None, :] > 0  # (B, 1, 1, S)
@@ -234,6 +248,33 @@ def chronos_encoder(
         allowed = allowed & same[:, None, :, :]
     key_mask = jnp.where(allowed, 0.0, neg)
 
+    # Fused bidirectional Pallas path (OPT-IN via MTT_CHRONOS_FUSED_ATTN=1):
+    # one kernel per layer computes softmax(QK^T + rel-pos bias + key mask) V
+    # whole-sequence in VMEM with ``fused_pack`` head slices packed per
+    # program. The bias is expanded to its block-diagonal packed form ONCE
+    # here — it is layer-independent — and its gradient (baseline mode trains
+    # it) accumulates in-kernel. Measured **-24% end-to-end** at the default
+    # mop geometry (2,961 -> 2,241 series/s back-to-back on v5e, docs/PERF.md
+    # r4) despite exact --kernel-check parity — the custom-VJP boundary
+    # stacks q/k/v/g residuals through the layer scan and severs XLA's
+    # attention<->projection fusions — so the XLA path stays the default.
+    # Segment-packed rows (group_ids mechanism) always keep the XLA path.
+    from multimodal_timesfm_tpu.ops.bidir_attention import (
+        bidir_pack,
+        fused_bidir_attention,
+        make_packed_bias,
+    )
+
+    attn_pad = (-seq) % 8
+    fused_pack = (
+        bidir_pack(seq + attn_pad, cfg.num_heads, cfg.head_dim)
+        if segment_ids is None
+        else None
+    )
+    if fused_pack is not None:
+        bias_exp = make_packed_bias(bias_hss, fused_pack, seq + attn_pad)
+        key_valid_padded = jnp.pad(attention_mask > 0, ((0, 0), (0, attn_pad)))
+
     def body(h, layer):
         normed = L.rms_norm(layer["attn_norm"], h)
         b, s, _ = normed.shape
@@ -241,17 +282,27 @@ def chronos_encoder(
         k = L.dense(layer["attn"]["k"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
         v = L.dense(layer["attn"]["v"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
         # T5 convention: no 1/sqrt(d) scaling (folded into weights).
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits + bias + key_mask
-        # Deliberately the composed softmax, NOT ops.attention.softmax_lowp: the
-        # fp32 probs residual it would remove costs ~3% of leaf time here,
-        # but on this geometry (12 heads x 67 tokens) XLA pays it back with
-        # worse backward layouts — the bf16-only residual forced per-layer
-        # copy ops on the stacked qkv reads, measured -5% end-to-end
-        # (2927 -> 2784 series/s back-to-back on v5e) while the same swap
-        # gains +7% on the TimesFM XLA attention path (docs/PERF.md).
-        weights = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32)
+        if fused_pack is not None:
+            if attn_pad:
+                widths = ((0, 0), (0, attn_pad), (0, 0), (0, 0))
+                q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
+            ctx = fused_bidir_attention(
+                q, k, v, key_valid_padded, bias_exp, False, fused_pack
+            )[:, :s]
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            logits = logits + bias + key_mask
+            # Deliberately the composed softmax, NOT ops.attention.softmax_lowp:
+            # the fp32 probs residual it would remove costs ~3% of leaf time
+            # here, but on this geometry (12 heads x 67 tokens) XLA pays it
+            # back with worse backward layouts — the bf16-only residual forced
+            # per-layer copy ops on the stacked qkv reads, measured -5%
+            # end-to-end (2927 -> 2784 series/s back-to-back on v5e) while the
+            # same swap gains +7% on the TimesFM XLA path (docs/PERF.md).
+            weights = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+            )
         ctx = ctx.reshape(b, s, cfg.model_dim).astype(h.dtype)
         h = h + L.dense(layer["attn"]["out"], ctx)
 

@@ -435,12 +435,17 @@ def pallas_pack(seq: int, heads: int, dim: int) -> int | None:
 
     At S >= 256 one slice per program already feeds the MXU (pack=1, the
     ``supports_pallas`` regime). Below the crossover the per-program matmuls
-    are tile-starved — S=16 fills an eighth of one 128-row MXU tile — so pack
-    consecutive head slices per program up to ~256 rows (bigger wastes more
-    block-diagonal FLOPs for little further tile win). pack must divide
-    ``heads`` (one shared (S,) padding mask per program, see ``_launch``).
-    ``MTT_ATTN_SMALL_PACK=0`` disables the small-S packing (A/B knob);
-    measured results live in docs/PERF.md.
+    are tile-starved — S=16 fills an eighth of one 128-row MXU tile — and
+    packing consecutive head slices per program up to ~512 rows DOES win the
+    isolated fwd+bwd micro-bench (v5e: S=16 pack=8-16 ~1.1x vs 0.47x unpacked;
+    S=64 pack=8 1.35x), but LOSES end-to-end inside the scanned transformer:
+    back-to-back workload A/Bs measured c512 -13% and c2048 -15% (docs/
+    PERF.md r4) — the custom-VJP boundary stacks q/k/v/g residual streams
+    through the layer scan and severs XLA's fusion of attention with the
+    surrounding projections, costs the isolated micro-bench never pays. So
+    small-S packing is OFF by default (``MTT_ATTN_SMALL_PACK=1`` re-enables
+    for experiments; pack must divide ``heads`` — one shared padding mask per
+    program, see ``_launch``).
     """
     if _FORCE_XLA or not is_tpu_backend():
         return None
@@ -450,11 +455,11 @@ def pallas_pack(seq: int, heads: int, dim: int) -> int | None:
         return 1 if seq <= 1024 else None
     import os
 
-    if os.environ.get("MTT_ATTN_SMALL_PACK", "1").lower() in ("0", "false", "no"):
+    if os.environ.get("MTT_ATTN_SMALL_PACK", "0").lower() not in ("1", "true", "yes"):
         return None
     pack = 1
     for cand in range(1, heads + 1):
-        if heads % cand == 0 and cand * seq <= 256:
+        if heads % cand == 0 and cand * seq <= 512:
             pack = cand
     # A lone tile-starved slice per program loses to XLA (supports_pallas
     # measurements) — only take the kernel when packing actually helps.

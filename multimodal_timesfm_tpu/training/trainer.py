@@ -154,7 +154,7 @@ class MultimodalTrainer:
         ckpt_backend: str = "pickle",
         fuse_epochs: bool | None = None,
         fold_frozen_seq1: bool = True,
-        fused_optimizer: bool = True,
+        fused_optimizer: bool = False,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
         replicated placement — pass ``parallel.sharding.shard_params`` for
@@ -269,13 +269,15 @@ class MultimodalTrainer:
             num_training_steps,
         )
         moment_dtype = jnp.bfloat16 if args.adam_moment_dtype == "bfloat16" else None
-        # Fused stepper (default): one per-leaf read-modify-write pass over the
-        # trained tree instead of the optax chain's intermediate update trees —
-        # same math (pinned in tests/test_optimization.py), material on the
-        # 200M baseline fine-tune where the update is HBM-bound. The optax
-        # chain stays available (fused_optimizer=False) as the oracle; the two
-        # store DIFFERENT opt_state structures, so checkpoints resume only
-        # under the same setting.
+        # Fused stepper (OPT-IN): one per-leaf read-modify-write pass over
+        # the trained tree instead of the optax chain's intermediate update
+        # trees — same math (pinned in tests/test_optimization.py). Measured
+        # NEUTRAL on the 200M baseline fine-tune (100.8k vs 102.5k series/s
+        # back-to-back on v5e, inside the tunnel's noise band — XLA already
+        # fuses the chain's passes; docs/PERF.md r4), so the default stays
+        # the reference-anchored optax chain, whose opt_state structure also
+        # matches existing checkpoints. The two store DIFFERENT opt_state
+        # structures, so checkpoints resume only under the same setting.
         self._fused_opt = (
             make_fused_adamw(
                 self.schedule, args.weight_decay, args.max_grad_norm, moment_dtype

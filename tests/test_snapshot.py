@@ -304,3 +304,18 @@ def test_chronos_config_rejects_tiny_rel_pos_buckets():
 
     with pytest.raises(ValueError, match="rel_pos_buckets"):
         dataclasses.replace(Chronos2Config.tiny(), rel_pos_buckets=2)
+
+
+def test_chronos_config_rejects_unequal_patch_sizes():
+    """input_patch_size != output_patch_size would crash deep inside forward
+    (the shared input_patch_embedding embeds the output_patch_size-shaped
+    future placeholders, reference chronos.py:82-99) — refused loudly at
+    construction with a pointer to max_output_patches."""
+    import dataclasses
+
+    import pytest
+
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Config
+
+    with pytest.raises(ValueError, match="max_output_patches"):
+        dataclasses.replace(Chronos2Config.tiny(), output_patch_size=8)
