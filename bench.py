@@ -727,6 +727,37 @@ def latency_bench(dtype: str) -> int:
         }
     )
     _log(f"[latency] {rows[-1]}")
+
+    # Chronos-2 serving (the second public backbone): checkpoint-default
+    # mop=64 config, single-shot horizon 32. Same Forecaster surface —
+    # measures the encoder-only forward + quantile head + inverse norm.
+    from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
+
+    c_decoder = MultimodalDecoder(
+        Chronos2Adapter(Chronos2Config(compute_dtype=compute_dtype)),
+        MultimodalDecoderConfig(text_embedding_dims=384),
+    )
+    c_params = c_decoder.init(jax.random.key(1))
+    for batch in (1, 16):
+        forecaster = Forecaster(c_decoder, c_params, batch_size=batch)
+        ctx = rng.normal(size=(batch, 32)).astype(np.float32)
+        txt = rng.normal(size=(batch, 1, 384)).astype(np.float32)
+        forecaster.forecast(32, ctx, text_embeddings=txt)  # compile + warm
+        times = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            forecaster.forecast(32, ctx, text_embeddings=txt)
+            times.append((time.perf_counter() - t0) * 1e3)
+        times.sort()
+        rows.append(
+            {
+                "backbone": "chronos",
+                "batch": batch,
+                "p50_ms": round(times[len(times) // 2], 3),
+                "p99_ms": round(_p99(times), 3),
+            }
+        )
+        _log(f"[latency] {rows[-1]}")
     print(json.dumps({"metric": "forecast_latency_ms", "rows": rows}))
     return 0
 
