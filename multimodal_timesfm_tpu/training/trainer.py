@@ -824,6 +824,12 @@ class MultimodalTrainer:
             "epoch": self.current_epoch,
             "global_step": self.global_step,
             "optimizer_state": jax.device_get(self.state.opt_state),
+            # Fused vs chain store structurally different opt_state trees
+            # (a single ScaleByAdamState vs the optax chain tuple); the stamp
+            # lets resume_from_checkpoint fail with the actual knob to flip
+            # instead of an opaque pytree-restructure error. Bool, not a
+            # kind-string: the orbax backend rejects str leaves.
+            "optimizer_is_fused": self._fused_opt is not None,
             "best_val_loss": self.best_val_loss,
         }
         key = "fusion_params" if self.mode == "multimodal" else "adapter_params"
@@ -858,6 +864,16 @@ class MultimodalTrainer:
         moments/schedule position don't match the recorded step.
         """
         checkpoint = load_checkpoint(path)
+        saved_fused = checkpoint.get("optimizer_is_fused")
+        if saved_fused is not None and bool(saved_fused) != (self._fused_opt is not None):
+            saved_kind = "fused" if saved_fused else "chain"
+            live_kind = "chain" if saved_fused else "fused"
+            raise ValueError(
+                f"Checkpoint {path} was written with the {saved_kind} optimizer "
+                f"but this trainer was built with the {live_kind} one — their "
+                "opt_state structures are incompatible. Rebuild the trainer with "
+                f"fused_optimizer={bool(saved_fused)} to resume it."
+            )
         if checkpoint.get("optimizer_state_is_final"):
             import warnings
 

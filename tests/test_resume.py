@@ -22,7 +22,7 @@ def _samples(n, seed):
     ]
 
 
-def _make(tmp_path, epochs):
+def _make(tmp_path, epochs, fused_optimizer=False):
     decoder = MultimodalDecoder(
         TimesFM2p5Adapter(TimesFMConfig.tiny()), MultimodalDecoderConfig(text_embedding_dims=6)
     )
@@ -45,6 +45,7 @@ def _make(tmp_path, epochs):
         train_dataset=_samples(16, 0),
         val_dataset=_samples(8, 1),
         mode="baseline",
+        fused_optimizer=fused_optimizer,
     )
     return trainer
 
@@ -71,6 +72,31 @@ def test_resume_restores_counters_and_state(tmp_path):
 
     t2.train()  # continues epochs 2..3 without error
     assert t2.current_epoch == 3
+
+
+def test_resume_rejects_optimizer_kind_mismatch(tmp_path):
+    """fused vs chain store structurally different opt_state trees; resuming
+    across the boundary must fail with an error naming fused_optimizer, not
+    an opaque pytree-restructure error (advisor finding r4)."""
+    import pytest
+
+    t1 = _make(tmp_path, epochs=1)  # chain optimizer
+    t1.train()
+    ckpt = t1.args.checkpoint_dir / "checkpoint_epoch_0.ckpt"
+
+    t2 = _make(tmp_path, epochs=2, fused_optimizer=True)
+    with pytest.raises(ValueError, match="fused_optimizer"):
+        t2.resume_from_checkpoint(ckpt)
+
+    # Same-kind resume still works for the fused path round-trip.
+    t3 = _make(tmp_path / "f", epochs=1, fused_optimizer=True)
+    t3.train()
+    fused_ckpt = t3.args.checkpoint_dir / "checkpoint_epoch_0.ckpt"
+    t4 = _make(tmp_path / "f", epochs=2, fused_optimizer=True)
+    t4.resume_from_checkpoint(fused_ckpt)
+    assert t4.start_epoch == 1
+    with pytest.raises(ValueError, match="fused_optimizer"):
+        _make(tmp_path / "f", epochs=2).resume_from_checkpoint(fused_ckpt)
 
 
 def test_resume_preserves_tensor_parallel_sharding(tmp_path):
