@@ -222,3 +222,136 @@ def load_jax_fusion(model: TorchFusion, params: dict) -> None:
         lin.weight.data = (
             torch.from_numpy(np.array(p["kernel"], dtype=np.float32, copy=True)).T.contiguous()
         )
+
+
+# ---------------------------------------------------------------------------
+# Full training loop + test evaluation (the reference's composition)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference's end-to-end sweep-trial shape — train with per-epoch
+# validation and best-checkpoint tracking, then evaluate test MSE/MAE with
+# sample-weighted accumulation (/root/reference/scripts/tune_time_mmd_sweep.py
+# :148-266, /root/reference/src/tsfmx/trainer.py:185-399,
+# /root/reference/src/tsfmx/evaluator.py:29-71) — so the full-pipeline parity
+# test can compare the JAX stack's split -> cache -> train -> test-eval
+# composition against an independent torch run over the SAME pickled caches.
+
+
+def _hf_linear_lambda(step: int, warmup: int, total: int) -> float:
+    if step < warmup:
+        return step / max(1, warmup)
+    return max(0.0, (total - step) / max(1, total - warmup))
+
+
+def _hf_cosine_lambda(step: int, warmup: int, total: int) -> float:
+    if step < warmup:
+        return step / max(1, warmup)
+    progress = (step - warmup) / max(1, total - warmup)
+    return max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+
+def _batch_tensors(samples: list, idx: np.ndarray, multimodal: bool):
+    ctx = torch.from_numpy(np.stack([np.asarray(samples[i]["context"]) for i in idx]))
+    hor = torch.from_numpy(np.stack([np.asarray(samples[i]["horizon"]) for i in idx]))
+    text = None
+    if multimodal:
+        text = torch.from_numpy(
+            np.stack([np.asarray(samples[i]["text_embeddings"], dtype=np.float32) for i in idx])
+        )
+    return ctx, hor, text
+
+
+def torch_train_multimodal(
+    model: TorchTimesFM,
+    fusion: TorchFusion,
+    train_samples: list,
+    val_samples: list,
+    *,
+    horizon_len: int,
+    batch_size: int,
+    eval_batch_size: int,
+    num_epochs: int,
+    learning_rate: float,
+    weight_decay: float,
+    warmup_steps: int,
+    max_grad_norm: float,
+    scheduler_type: str = "linear",
+    seed: int = 0,
+) -> dict:
+    """Frozen-backbone multimodal fine-tune with best-epoch fusion tracking.
+
+    Batch order replicates the JAX trainer's shuffling exactly (one
+    ``np.random.default_rng(seed).permutation`` draw per train epoch,
+    deterministic val order), so trajectories are comparable point-for-point.
+    Returns {"best_val_loss", "best_fusion_state", "val_losses"}.
+    """
+    model.requires_grad_(False)
+    fusion.requires_grad_(True)
+    n = len(train_samples)
+    num_batches = math.ceil(n / batch_size)
+    total_steps = num_epochs * num_batches
+    optimizer = torch.optim.AdamW(
+        fusion.parameters(), lr=learning_rate, weight_decay=weight_decay
+    )
+    lam = _hf_linear_lambda if scheduler_type == "linear" else _hf_cosine_lambda
+    scheduler = torch.optim.lr_scheduler.LambdaLR(
+        optimizer, lambda s: lam(s, warmup_steps, total_steps)
+    )
+    loss_fn = nn.MSELoss()
+    perm_rng = np.random.default_rng(seed)
+
+    def val_loss() -> float:
+        n_val = len(val_samples)
+        per_batch = []
+        with torch.no_grad():
+            for bi in range(math.ceil(n_val / eval_batch_size)):
+                idx = np.arange(bi * eval_batch_size, min((bi + 1) * eval_batch_size, n_val))
+                ctx, hor, text = _batch_tensors(val_samples, idx, multimodal=True)
+                masks = torch.zeros_like(ctx, dtype=torch.bool)
+                point = model(horizon_len, ctx, masks, text, fusion)[..., model.decode_index]
+                per_batch.append(float(loss_fn(point, hor)))
+        return float(np.mean(per_batch))
+
+    best_val, best_state, val_losses = float("inf"), None, []
+    for _ in range(num_epochs):
+        order = perm_rng.permutation(n)
+        for bi in range(num_batches):
+            idx = order[bi * batch_size : (bi + 1) * batch_size]
+            ctx, hor, text = _batch_tensors(train_samples, idx, multimodal=True)
+            masks = torch.zeros_like(ctx, dtype=torch.bool)
+            point = model(horizon_len, ctx, masks, text, fusion)[..., model.decode_index]
+            loss = loss_fn(point, hor)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(fusion.parameters(), max_grad_norm)
+            optimizer.step()
+            optimizer.zero_grad()
+            scheduler.step()
+        vl = val_loss()
+        val_losses.append(vl)
+        if vl < best_val:
+            best_val = vl
+            best_state = {k: v.clone() for k, v in fusion.state_dict().items()}
+    return {"best_val_loss": best_val, "best_fusion_state": best_state, "val_losses": val_losses}
+
+
+def torch_evaluate(
+    model: TorchTimesFM,
+    fusion: TorchFusion | None,
+    samples: list,
+    *,
+    horizon_len: int,
+    batch_size: int,
+) -> dict:
+    """Sample-weighted test MSE/MAE (reference ``evaluator.py:59-71``)."""
+    n = len(samples)
+    total_se = total_ae = 0.0
+    with torch.no_grad():
+        for bi in range(math.ceil(n / batch_size)):
+            idx = np.arange(bi * batch_size, min((bi + 1) * batch_size, n))
+            ctx, hor, text = _batch_tensors(samples, idx, multimodal=fusion is not None)
+            masks = torch.zeros_like(ctx, dtype=torch.bool)
+            point = model(horizon_len, ctx, masks, text, fusion)[..., model.decode_index]
+            err = point - hor
+            total_se += float((err**2).mean(dim=-1).sum())
+            total_ae += float(err.abs().mean(dim=-1).sum())
+    return {"mse": total_se / n, "mae": total_ae / n}
