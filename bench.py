@@ -327,6 +327,13 @@ def build_trainer(
         # crash the workload build.
         fold_frozen_seq1=os.environ.get("MTT_BENCH_NO_FOLD", "0").strip().lower()
         not in ("1", "true", "yes"),
+        # A/B knob: MTT_BENCH_NO_AFFINE_FOLD=1 disables the frozen affine
+        # fold (norm gains / per-dim query scale pre-multiplied into the
+        # GEMM weights; trainer default: on).
+        fold_frozen_affine=os.environ.get("MTT_BENCH_NO_AFFINE_FOLD", "0")
+        .strip()
+        .lower()
+        not in ("1", "true", "yes"),
         # A/B knob: MTT_BENCH_FUSED_OPT=1 swaps in the fused single-pass
         # AdamW step (measured neutral vs the default optax chain on the
         # baseline workload — 100.8k vs 102.5k series/s back-to-back, r4).
@@ -1057,11 +1064,80 @@ def kernel_check(dtype: str) -> int:
         failures += not ok
         _log(f"[kernel-check] {rows[-1]}")
 
+    def compare_qkv_fused(name, seq, batch=8, heads=16, dim=80):
+        """Fused-qkv small-S kernel vs the slice/reshape + XLA oracle: the
+        (B, S, 3HD)-layout kernel (ops/qkv_attention.py) whose in-kernel
+        lane-dim head slicing CPU interpret tests cannot lowering-check."""
+        nonlocal failures
+        from multimodal_timesfm_tpu.ops.qkv_attention import fused_qkv_causal_attention
+
+        rng = np.random.default_rng(seq)
+        hd = heads * dim
+        qkv = jnp.asarray(
+            rng.normal(size=(batch, seq, 3 * hd)) / np.sqrt(dim), comp_dtype
+        )
+        lengths = np.linspace(seq // 4, seq, batch, dtype=int)
+        valid = jnp.asarray(np.arange(seq)[None, :] < lengths[:, None])
+        qmask = np.asarray(valid)[:, :, None]
+
+        def oracle(qkv):
+            q = qkv[..., :hd].reshape(batch, seq, heads, dim)
+            k = qkv[..., hd : 2 * hd].reshape(batch, seq, heads, dim)
+            v = qkv[..., 2 * hd :].reshape(batch, seq, heads, dim)
+            return xla_causal_attention(q, k, v, valid).reshape(batch, seq, hd)
+
+        def fused(qkv):
+            return fused_qkv_causal_attention(qkv, valid, heads, dim, interpret)
+
+        def loss_of(attn):
+            def loss(qkv):
+                out = attn(qkv).astype(jnp.float32)
+                return jnp.sum(jnp.where(jnp.asarray(qmask), out, 0.0) ** 2)
+
+            return loss
+
+        if interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            ctx = pltpu.force_tpu_interpret_mode()
+        else:
+            ctx = contextlib.nullcontext()
+        try:
+            with ctx:
+                out = jax.jit(fused)(qkv)
+                ref = jax.jit(oracle)(qkv)
+                g = jax.jit(jax.grad(loss_of(fused)))(qkv)
+                gr = jax.jit(jax.grad(loss_of(oracle)))(qkv)
+            fwd_diff = float(
+                np.max(np.abs((np.asarray(out, np.float32) - np.asarray(ref, np.float32)) * qmask))
+            )
+            grad_diff = float(
+                np.max(np.abs(np.asarray(g, np.float32) - np.asarray(gr, np.float32)))
+            )
+            ok = bool(fwd_diff <= atol and grad_diff <= 4 * atol)
+            rows.append(
+                {
+                    "path": name,
+                    "seq": seq,
+                    "fwd_max_diff": fwd_diff,
+                    "grad_max_diff": grad_diff,
+                    "ok": ok,
+                }
+            )
+        except Exception as exc:
+            rows.append({"path": name, "seq": seq, "ok": False, "error": repr(exc)})
+            ok = False
+        failures += not ok
+        _log(f"[kernel-check] {rows[-1]}")
+
     compare("whole-seq", whole, 512)
     # Small-S packed variants: the production geometries pallas_pack selects
     # (S=16 -> pack 16 at 16 heads, S=64 -> pack 8), plus ragged padding.
     compare("packed-16x16", packed(16), 16, batch=8, heads=16, dim=80)
     compare("packed-64x8", packed(8), 64, batch=8, heads=16, dim=80)
+    # Fused-qkv kernel at the production c512/c2048 geometries.
+    compare_qkv_fused("qkv-fused-16", 16)
+    compare_qkv_fused("qkv-fused-64", 64)
     # Chronos encoder geometry (padded 67 -> 72 tokens, 12 heads, pack 6).
     compare_bidir("bidir-72x6", 72, 6)
     if on_device:

@@ -20,7 +20,10 @@ from examples.time_mmd.cross_validation import DomainSpec, load_fold_datasets
 from multimodal_timesfm_tpu.models.base import TsfmAdapter
 from multimodal_timesfm_tpu.models.chronos import Chronos2Adapter, Chronos2Config
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder, MultimodalDecoderConfig
-from multimodal_timesfm_tpu.models.layers import fold_frozen_tree_seq1
+from multimodal_timesfm_tpu.models.layers import (
+    fold_frozen_tree_affines,
+    fold_frozen_tree_seq1,
+)
 from multimodal_timesfm_tpu.models.timesfm import TimesFM2p5Adapter, TimesFMConfig
 from multimodal_timesfm_tpu.training.checkpoint import load_checkpoint
 from multimodal_timesfm_tpu.training.evaluator import MultimodalEvaluator
@@ -360,6 +363,13 @@ def train_and_evaluate_many(
             # shared across every trial in the group AND the vectorized eval,
             # which consume the same context width.
             folded = fold_frozen_tree_seq1(frozen)
+            if folded is not None:
+                frozen = folded
+        if multimodal:
+            # Fold the frozen stack's elementwise affines into the adjacent
+            # GEMM weights (exact at any context; composes with the seq==1
+            # fold above) — models/layers.fold_frozen_affines.
+            folded = fold_frozen_tree_affines(frozen)
             if folded is not None:
                 frozen = folded
 

@@ -106,9 +106,14 @@ def init_rms_norm(dim: int) -> Params:
 
 
 def rms_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # A params dict WITHOUT "scale" means the learned gain was folded into
+    # the downstream GEMM weights (fold_frozen_affines) — apply only the
+    # normalization here.
+    gain = params.get("scale")
     if x.dtype == jnp.float32:
         var = jnp.mean(x * x, axis=-1, keepdims=True)
-        return x * jax.lax.rsqrt(var + eps) * (1.0 + params["scale"])
+        normed = x * jax.lax.rsqrt(var + eps)
+        return normed if gain is None else normed * (1.0 + gain)
     # Low-precision path: accumulate the variance in fp32 but keep every
     # (..., D)-sized intermediate in x.dtype. The naive upcast-first version
     # makes autodiff save TWO fp32 copies of x per norm as residuals — under
@@ -124,13 +129,15 @@ def rms_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     # inverse scale itself.
     var = jnp.mean((x * x).astype(jnp.float32), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    if gain is None:
+        return x * inv
     # Apply the learned gain in fp32 with ONE final cast: casting the gain
     # itself to bf16 first would snap (1 + scale) to a ~0.004 grid, silently
     # zeroing learned per-feature deviations below ~0.2% (coherent, not
     # stochastic). The f32 product is no one's residual — the multiply saves
     # its x.dtype operand and the (D,) gain — so no f32[L, B, S, D] stream
     # returns (pinned by the scanned-jaxpr test).
-    return ((x * inv) * (1.0 + params["scale"])).astype(x.dtype)
+    return ((x * inv) * (1.0 + gain)).astype(x.dtype)
 
 
 def init_layer_norm(dim: int) -> Params:
@@ -138,10 +145,14 @@ def init_layer_norm(dim: int) -> Params:
 
 
 def layer_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # Empty params = the learned affine was folded into the downstream GEMM
+    # (fold_frozen_affines): standardize only.
+    scale, bias = params.get("scale"), params.get("bias")
     if x.dtype == jnp.float32:
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+        std = (x - mu) * jax.lax.rsqrt(var + eps)
+        return std if scale is None else std * scale + bias
     # Low-precision path: fp32 moment accumulation, x.dtype intermediates
     # (see rms_norm — including why the reductions are plain multiply-means,
     # not einsum contractions). Centering before the variance reduction
@@ -151,8 +162,10 @@ def layer_norm(params: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     centered = x - mu32.astype(x.dtype)
     var = jnp.mean((centered * centered).astype(jnp.float32), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    if scale is None:
+        return centered * inv
     # fp32 scale/bias application, one final cast — see rms_norm.
-    return ((centered * inv) * params["scale"] + params["bias"]).astype(x.dtype)
+    return ((centered * inv) * scale + bias).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -264,10 +277,38 @@ def causal_attention(
     # fast path slices from the kernel.
     hd = num_heads * head_dim
     qkv = dense(params["qkv"], x)  # (B, S, 3*H*D)
+
+    from multimodal_timesfm_tpu.ops.qkv_attention import (
+        fused_qkv_causal_attention,
+        supports_qkv_fused,
+    )
+
+    if supports_qkv_fused(seq, num_heads, head_dim):
+        # Small-S fused path: the kernel consumes qkv in its NATURAL layout
+        # and emits (B, S, H*D) for the out projection — no slice/transpose
+        # copies, no probs residual (the backward recomputes the weights
+        # from the saved qkv). The r5 traces measured the XLA attention
+        # middle these ops form at ~25-30% of device time on the 16/64-token
+        # workloads (docs/PERF.md).
+        if "per_dim_scale" in params:
+            scale = (_R_SOFTPLUS_0 / math.sqrt(head_dim)) * jax.nn.softplus(
+                params["per_dim_scale"]
+            )
+            mult = jnp.tile(scale, num_heads).astype(jnp.float32)
+            qkv = jnp.concatenate(
+                [(qkv[..., :hd] * mult).astype(qkv.dtype), qkv[..., hd:]], axis=-1
+            )
+        out = fused_qkv_causal_attention(qkv, ~paddings, num_heads, head_dim)
+        return dense(params["out"], out.astype(x.dtype))
+
     q = qkv[..., :hd].reshape(batch, seq, num_heads, head_dim)
     k = qkv[..., hd : 2 * hd].reshape(batch, seq, num_heads, head_dim)
     v = qkv[..., 2 * hd :].reshape(batch, seq, num_heads, head_dim)
-    q = _scale_query(q, params["per_dim_scale"], head_dim)
+    # Absent per_dim_scale = fold_frozen_affines pre-multiplied the
+    # softplus'd scale into the q column block of the frozen qkv kernel;
+    # q arrives pre-scaled and the elementwise pass is gone.
+    if "per_dim_scale" in params:
+        q = _scale_query(q, params["per_dim_scale"], head_dim)
     key_valid = ~paddings  # (B, N)
     pack = pallas_pack(seq, num_heads, head_dim)
     if pack is not None:
@@ -331,6 +372,105 @@ def fold_seq1_attention(stacked: Params) -> Params:
     folded = dict(stacked)
     folded["attn"] = {"vo": vo}
     return folded
+
+
+def fold_frozen_affines(stacked: Params) -> Params:
+    """Fold each frozen layer's elementwise affines into its GEMM weights.
+
+    For a FROZEN transformer stack (multimodal mode trains only the fusion
+    MLP) three per-layer elementwise passes are exact linear rewrites of the
+    adjacent projection weights, so they can be pre-multiplied once per run
+    in fp32 — same family as :func:`fold_seq1_attention` (+25.7% headline,
+    docs/PERF.md), but valid at ANY sequence length:
+
+      1. the RMS-norm gain: ``(n(x) * g) @ W == n(x) @ (diag(g) W)`` — the
+         gain rows fold into the attention input projection (``qkv``, or the
+         already-folded ``vo``),
+      2. the PAX per-dim query scale: ``(h @ Wq) * s == h @ (Wq diag(s~))``
+         with the softplus'd scale tiled across heads — folds into the q
+         column block (and q bias), deleting the ``_scale_query`` pass,
+      3. the LayerNorm affine: ``(std(x) * a + b) @ W == std(x) @ (diag(a) W)
+         + b @ W`` — scale and bias fold into ``ffn_up``'s kernel and bias.
+
+    The folded tree's norms carry EMPTY param dicts (``rms_norm`` /
+    ``layer_norm`` then standardize only) and ``per_dim_scale`` is dropped;
+    outputs and input-gradients are bit-comparable up to fp32 re-association.
+    Invalid when the stack is trained (the factors are parameters).
+    Idempotent: an already-folded tree is returned unchanged.
+    """
+    if "scale" not in stacked.get("attn_norm", {}):
+        return stacked  # already folded (composes with trainer/sweep paths)
+    # jnp.asarray throughout: the tree may arrive numpy-backed (e.g. a
+    # device_get'd checkpoint) and the .at[] updates below are jax-only.
+    folded = dict(stacked)
+    attn = dict(stacked["attn"])
+
+    # --- 1) rms gain rows into the attention input projection ------------
+    gain = 1.0 + jnp.asarray(stacked["attn_norm"]["scale"], jnp.float32)  # (L, D)
+    if "vo" in attn:
+        vo = dict(attn["vo"])
+        vo["kernel"] = (jnp.asarray(vo["kernel"], jnp.float32) * gain[:, :, None]).astype(
+            attn["vo"]["kernel"].dtype
+        )
+        attn["vo"] = vo
+    else:
+        qkv = dict(attn["qkv"])
+        kern = jnp.asarray(qkv["kernel"], jnp.float32) * gain[:, :, None]
+        # --- 2) per-dim query scale into the q column block --------------
+        if "per_dim_scale" in attn:
+            hd = attn["out"]["kernel"].shape[1]  # H * head_dim
+            pds = jnp.asarray(attn.pop("per_dim_scale"), jnp.float32)  # (L, head_dim)
+            head_dim = pds.shape[-1]
+            s = (_R_SOFTPLUS_0 / math.sqrt(head_dim)) * jax.nn.softplus(pds)
+            tiled = jnp.tile(s, (1, hd // head_dim))  # (L, H*head_dim)
+            kern = kern.at[:, :, :hd].multiply(tiled[:, None, :])
+            if "bias" in qkv:
+                bias = jnp.asarray(qkv["bias"], jnp.float32)
+                bias = bias.at[:, :hd].multiply(tiled)
+                qkv["bias"] = bias.astype(attn["qkv"]["bias"].dtype)
+        qkv["kernel"] = kern.astype(attn["qkv"]["kernel"].dtype)
+        attn["qkv"] = qkv
+    folded["attn"] = attn
+    folded["attn_norm"] = {}
+
+    # --- 3) layer_norm affine into ffn_up ---------------------------------
+    ln = stacked["ffn_norm"]
+    up = dict(stacked["ffn_up"])
+    w32 = jnp.asarray(up["kernel"], jnp.float32)  # (L, D, F)
+    new_kernel = w32 * jnp.asarray(ln["scale"], jnp.float32)[:, :, None]
+    ln_bias_term = jnp.einsum(
+        "ld,ldf->lf", jnp.asarray(ln["bias"], jnp.float32), w32,
+        preferred_element_type=jnp.float32,
+    )
+    new_bias = ln_bias_term + (
+        jnp.asarray(up["bias"], jnp.float32) if "bias" in up else 0.0
+    )
+    up["kernel"] = new_kernel.astype(stacked["ffn_up"]["kernel"].dtype)
+    up["bias"] = new_bias.astype(
+        stacked["ffn_up"].get("bias", stacked["ffn_up"]["kernel"]).dtype
+    )
+    folded["ffn_up"] = up
+    folded["ffn_norm"] = {}
+    return folded
+
+
+def fold_frozen_tree_affines(frozen: Params) -> Params | None:
+    """Apply :func:`fold_frozen_affines` to a frozen params *tree*.
+
+    Same structural gate as :func:`fold_frozen_tree_seq1`: folds
+    ``frozen["adapter"]["stacked_xf"]`` when the tree is TimesFM-shaped,
+    returns ``None`` otherwise (e.g. Chronos — its T5 encoder has a
+    different norm wiring). Mode gating (the stack must actually be frozen)
+    is the caller's responsibility.
+    """
+    adapter = frozen.get("adapter")
+    if not (isinstance(adapter, dict) and "stacked_xf" in adapter):
+        return None
+    adapter = dict(adapter)
+    adapter["stacked_xf"] = fold_frozen_affines(adapter["stacked_xf"])
+    out = dict(frozen)
+    out["adapter"] = adapter
+    return out
 
 
 def fold_frozen_tree_seq1(frozen: Params) -> Params | None:

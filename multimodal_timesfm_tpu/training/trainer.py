@@ -47,7 +47,10 @@ import optax
 from multimodal_timesfm_tpu.data.collate import StackedDataset, stack_samples
 from multimodal_timesfm_tpu.models.base import Params
 from multimodal_timesfm_tpu.models.decoder import MultimodalDecoder
-from multimodal_timesfm_tpu.models.layers import fold_frozen_tree_seq1
+from multimodal_timesfm_tpu.models.layers import (
+    fold_frozen_tree_affines,
+    fold_frozen_tree_seq1,
+)
 from multimodal_timesfm_tpu.parallel.mesh import put_global, replicated
 from multimodal_timesfm_tpu.training.checkpoint import (
     load_checkpoint,
@@ -154,6 +157,7 @@ class MultimodalTrainer:
         ckpt_backend: str = "pickle",
         fuse_epochs: bool | None = None,
         fold_frozen_seq1: bool = True,
+        fold_frozen_affine: bool = True,
         fused_optimizer: bool = False,
     ) -> None:
         """``shard_params_fn(params_subtree, mesh)`` overrides the default
@@ -243,6 +247,19 @@ class MultimodalTrainer:
             if folded is not None:  # None: non-TimesFM (e.g. Chronos) tree
                 self.frozen = folded
                 self._folded_seq1 = True
+        self._folded_affine = False
+        if fold_frozen_affine and multimodal and shard_params_fn is None:
+            # Fold the frozen stack's elementwise affines (rms gain, per-dim
+            # query scale, layer_norm scale/bias) into the adjacent GEMM
+            # weights — exact at any sequence length, fp32, once per run
+            # (models/layers.fold_frozen_affines). Composes with the seq==1
+            # fold above (the gain lands on the fused vo kernel). Skipped
+            # under tensor parallelism like the seq==1 fold: the sharding
+            # rules expect the unfolded per-leaf names.
+            folded = fold_frozen_tree_affines(self.frozen)
+            if folded is not None:  # None: non-TimesFM (e.g. Chronos) tree
+                self.frozen = folded
+                self._folded_affine = True
         # Public: consumers sizing the program's true FLOPs (bench MFU
         # denominators) must read the ACTUAL fold state, not re-derive the
         # gates above (mode, sharding, geometry, knob) — see folded_seq1.
