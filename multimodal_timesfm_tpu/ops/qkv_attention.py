@@ -14,11 +14,17 @@ VJP re-saved q/k/v/g as new per-layer residual streams.
 This kernel takes the attention middle end to end instead:
 
   * input is the fused qkv projection output in its NATURAL layout
-    ``(B, S, 3*H*D)`` — no host-side slicing, reshaping, or transposing;
-    heads are sliced on the lane dimension *inside* the kernel (VMEM ops),
-  * per program (one batch row) consecutive heads are packed on the row
-    axis into MXU-sized block-diagonal matmuls (same exact masking math as
-    ``ops.attention._masked_softmax``),
+    ``(B, S, 3*H*D)`` — no host-side slicing, head reshaping, or
+    transposing (the only host ops are row-major ``(B, S, C) -> (B*S, C)``
+    collapses, which are free bitcasts),
+  * each program processes a TILE of batch rows; attention runs per head
+    over all tile rows at once as ONE block-diagonal masked matmul (the
+    row tile is the "pack" — same masking math as
+    ``ops.attention._masked_softmax`` with slice length S), so the per-head
+    lane slices are bulk ``(BT*S, D)`` reads. A first revision packed
+    heads-per-row instead: 48 tiny lane-relayout stores per ROW and one
+    tiny program per row measured −2.2% end-to-end at c512 — the packing
+    VPU work and grid-step overhead ate the entire win,
   * output is ``(B, S, H*D)`` — exactly what the out-projection GEMM wants,
   * the backward kernel RECOMPUTES the attention weights from the saved qkv
     (no probs residual at all) and emits ``dqkv`` in ``(B, S, 3*H*D)`` —
@@ -27,6 +33,18 @@ This kernel takes the attention middle end to end instead:
   * residuals: the qkv tensor itself (byte-identical to the q+k+v saves the
     XLA path stacks) plus the (B, S) mask — strictly FEWER bytes than the
     XLA path (which additionally stacks the low-precision probs).
+
+Mosaic constraints found on v5e (all invisible to interpret mode, caught by
+``bench.py --kernel-check``): in-kernel ``reshape`` of a multi-row block
+(``(bt, seq, C) -> (bt*seq, C)``) materializes a ``tpu.concatenate`` over
+lane-offset pieces, which Mosaic rejects ("result/input offset mismatch on
+non-concat dimension") — so ALL rank changes happen on the host and every
+ref is 2D (mask: the ``(G, 1, BT*S)`` block trick from ``ops.attention``);
+``tpu.concatenate`` likewise rejects lane-offset head slices directly, so
+head extraction goes through offset-0 VMEM scratch STORES (which do
+relayout); and a scratch region reused across in-kernel loop iterations is
+a scheduler hazard (wrong results at S=64), so every head gets its own
+scratch slab.
 
 Numerics match the XLA path's contract: fp32 logits/softmax, weights cast
 to the compute dtype for the PV matmul, fp32 recompute in backward.
@@ -46,60 +64,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_timesfm_tpu.ops.attention import _masked_softmax, is_tpu_backend
 
-
-def _head_pack(seq: int, heads: int) -> int:
-    """Heads packed per block-diagonal matmul: the largest divisor of
-    ``heads`` keeping the packed row count <= 512 (VMEM (pS, pS) fp32 caps
-    and the measured MXU sweet spot from the r4 pack experiments)."""
-    pack = 1
-    for cand in range(1, heads + 1):
-        if heads % cand == 0 and cand * seq <= 512:
-            pack = cand
-    return pack
+# Packed-row cap: (BT*S)^2 fp32 logits stay ~0.26 MB and the row-tile blocks
+# keep the backward's VMEM (qkv + g + dqkv + per-head slabs) well under the
+# ~16 MB budget.
+_MAX_TILE_ROWS = 256
 
 
-def _pack_heads(qkv: jax.Array, scratch: Any, slab: int, base: int, group: Any, seq: int, dim: int) -> jax.Array:
-    """Assemble head slices ``qkv[:, base + h*dim : ...]`` row-wise into the
-    offset-0 VMEM ``scratch`` slab and read the packed (pack*S, D) block back.
-
-    Mosaic's ``tpu.concatenate`` rejects lane-offset inputs ("result/input
-    offset mismatch on non-concat dimension" — head boundaries at D=80 are
-    not 128-lane aligned), but offset STORES relayout fine, so the packing
-    goes through a scratch buffer instead of a concat (probed on v5e).
-    ``slab`` indexes the head group's own region of the scratch: REUSING one
-    region across in-kernel group iterations produced wrong results on the
-    real TPU at multi-group geometries (S=64/pack=8 — a write-after-read
-    hazard the Mosaic scheduler does not order; caught by --kernel-check,
-    invisible to interpret mode), so every group packs into disjoint rows.
-    """
-    pack = len(group)
-    row0 = slab * pack * seq
-    for i, h in enumerate(group):
-        scratch[row0 + i * seq : row0 + (i + 1) * seq, :] = qkv[
-            :, base + h * dim : base + (h + 1) * dim
-        ].astype(scratch.dtype)
-    return scratch[row0 : row0 + pack * seq, :]
+def _row_tile(batch: int, seq: int) -> int:
+    """Batch rows per program: largest divisor of ``batch`` with BT*S <= cap."""
+    bt = 1
+    for cand in range(1, batch + 1):
+        if batch % cand == 0 and cand * seq <= _MAX_TILE_ROWS:
+            bt = cand
+    return bt
 
 
 def _fwd_kernel(
     qkv_ref: Any, valid_ref: Any, o_ref: Any, qs: Any, ks: Any, vs: Any,
-    *, seq: int, heads: int, dim: int,
+    *, seq: int, heads: int, dim: int, bt: int,
 ) -> None:
     hd = heads * dim
-    pack = _head_pack(seq, heads)
-    qkv = qkv_ref[0]  # (S, 3*H*D)
-    for slab, g0 in enumerate(range(0, heads, pack)):
-        group = range(g0, g0 + pack)
-        q = _pack_heads(qkv, qs, slab, 0, group, seq, dim)
-        k = _pack_heads(qkv, ks, slab, hd, group, seq, dim)
-        v = _pack_heads(qkv, vs, slab, 2 * hd, group, seq, dim)
-        w = _masked_softmax(q, k, valid_ref[0, 0], seq)
+    rows_per = bt * seq
+    qkv = qkv_ref[...]  # (BT*S, 3*H*D)
+    valid = valid_ref[0, 0]  # (BT*S,)
+    for h in range(heads):
+        # Bulk per-head lane slices into offset-0 slabs (one store per head,
+        # covering every row of the tile).
+        rows = slice(h * rows_per, (h + 1) * rows_per)
+        qs[rows, :] = qkv[:, h * dim : (h + 1) * dim].astype(qs.dtype)
+        ks[rows, :] = qkv[:, hd + h * dim : hd + (h + 1) * dim].astype(ks.dtype)
+        vs[rows, :] = qkv[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim].astype(
+            vs.dtype
+        )
+    for h in range(heads):
+        rows = slice(h * rows_per, (h + 1) * rows_per)
+        q, k, v = qs[rows, :], ks[rows, :], vs[rows, :]
+        # Block-diagonal over the bt packed rows (slice length = seq):
+        # cross-row attention masked exactly like causal-future entries.
+        w = _masked_softmax(q, k, valid, seq)
         o = jax.lax.dot_general(
             w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-        for i, h in enumerate(group):
-            o_ref[0, :, h * dim : (h + 1) * dim] = o[i * seq : (i + 1) * seq]
+        )
+        o_ref[:, h * dim : (h + 1) * dim] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(
@@ -115,17 +122,25 @@ def _bwd_kernel(
     seq: int,
     heads: int,
     dim: int,
+    bt: int,
 ) -> None:
     hd = heads * dim
-    pack = _head_pack(seq, heads)
-    qkv = qkv_ref[0]
-    for slab, g0 in enumerate(range(0, heads, pack)):
-        group = range(g0, g0 + pack)
-        q = _pack_heads(qkv, qs, slab, 0, group, seq, dim)
-        k = _pack_heads(qkv, ks, slab, hd, group, seq, dim)
-        v = _pack_heads(qkv, vs, slab, 2 * hd, group, seq, dim)
-        g = _pack_heads(g_ref[0], gs, slab, 0, group, seq, dim)
-        w = _masked_softmax(q, k, valid_ref[0, 0], seq)
+    rows_per = bt * seq
+    qkv = qkv_ref[...]  # (BT*S, 3*H*D)
+    g_all = g_ref[...]  # (BT*S, H*D)
+    valid = valid_ref[0, 0]
+    for h in range(heads):
+        rows = slice(h * rows_per, (h + 1) * rows_per)
+        qs[rows, :] = qkv[:, h * dim : (h + 1) * dim].astype(qs.dtype)
+        ks[rows, :] = qkv[:, hd + h * dim : hd + (h + 1) * dim].astype(ks.dtype)
+        vs[rows, :] = qkv[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim].astype(
+            vs.dtype
+        )
+        gs[rows, :] = g_all[:, h * dim : (h + 1) * dim].astype(gs.dtype)
+    for h in range(heads):
+        rows = slice(h * rows_per, (h + 1) * rows_per)
+        q, k, v, g = qs[rows, :], ks[rows, :], vs[rows, :], gs[rows, :]
+        w = _masked_softmax(q, k, valid, seq)
         g32 = g.astype(jnp.float32)
         v32 = v.astype(jnp.float32)
         dv = jax.lax.dot_general(
@@ -136,57 +151,74 @@ def _bwd_kernel(
         )
         dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
         dq = jax.lax.dot_general(
-            dl, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dl, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dk = jax.lax.dot_general(
-            dl, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        for i, h in enumerate(group):
-            rows = slice(i * seq, (i + 1) * seq)
-            dqkv_ref[0, :, h * dim : (h + 1) * dim] = dq[rows].astype(dqkv_ref.dtype)
-            dqkv_ref[0, :, hd + h * dim : hd + (h + 1) * dim] = dk[rows].astype(
-                dqkv_ref.dtype
-            )
-            dqkv_ref[0, :, 2 * hd + h * dim : 2 * hd + (h + 1) * dim] = dv[
-                rows
-            ].astype(dqkv_ref.dtype)
+        dqkv_ref[:, h * dim : (h + 1) * dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, hd + h * dim : hd + (h + 1) * dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim] = dv.astype(
+            dqkv_ref.dtype
+        )
 
 
-def _launch(kernel: Any, qkv, valid3, extra, out_cols: int, seq: int, heads: int, dim: int, interpret: bool, scratch_dtype: Any, n_scratch: int):
+def _launch(
+    kernel: Any,
+    qkv: jax.Array,
+    key_valid: jax.Array,
+    extra: tuple,
+    out_cols: int,
+    seq: int,
+    heads: int,
+    dim: int,
+    interpret: bool,
+    scratch_dtype: Any,
+    n_scratch: int,
+) -> jax.Array:
+    """All rank changes live HERE (free row-major collapses); the kernel refs
+    are strictly 2D plus the (G, 1, BT*S) mask block (module docstring)."""
     batch = qkv.shape[0]
-    pack = _head_pack(seq, heads)
+    bt = _row_tile(batch, seq)
+    grid = batch // bt
+    rows_per = bt * seq
+    qkv2 = qkv.reshape(batch * seq, 3 * heads * dim)
+    valid3 = key_valid.astype(jnp.float32).reshape(grid, 1, rows_per)
+    extra2 = tuple(e.reshape(batch * seq, heads * dim) for e in extra)
     qkv_spec = pl.BlockSpec(
-        (1, seq, 3 * heads * dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (rows_per, 3 * heads * dim), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    # (B, 1, pack*S) mask, (1, 1, pack*S) blocks — the singleton middle axis
+    # (G, 1, BT*S) mask, (1, 1, BT*S) blocks — the leading singleton indexing
     # satisfies the Mosaic trailing-dims rule (see ops.attention._launch).
     mask_spec = pl.BlockSpec(
-        (1, 1, pack * seq), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, rows_per), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     g_spec = pl.BlockSpec(
-        (1, seq, heads * dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (rows_per, heads * dim), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, seq, out_cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (rows_per, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
-        functools.partial(kernel, seq=seq, heads=heads, dim=dim),
-        out_shape=jax.ShapeDtypeStruct((batch, seq, out_cols), qkv.dtype),
-        grid=(batch,),
+    out = pl.pallas_call(
+        functools.partial(kernel, seq=seq, heads=heads, dim=dim, bt=bt),
+        out_shape=jax.ShapeDtypeStruct((batch * seq, out_cols), qkv.dtype),
+        grid=(grid,),
         in_specs=[qkv_spec, mask_spec] + [g_spec] * len(extra),
         out_specs=out_spec,
-        # One disjoint slab per head group (H*S rows total) — see _pack_heads.
-        scratch_shapes=[pltpu.VMEM((heads * seq, dim), scratch_dtype)] * n_scratch,
+        # One disjoint slab per head (hazard note in the module docstring).
+        scratch_shapes=[pltpu.VMEM((heads * rows_per, dim), scratch_dtype)]
+        * n_scratch,
+        # The backward at grid > 1 (input/output double-buffering active)
+        # sits just past Mosaic's conservative 16 MB scoped-VMEM default
+        # (measured 16.22 MB at B*S=512, seq=64); v5e has 128 MB physical
+        # VMEM per core, so raise the scoped limit rather than shrinking
+        # the row tile (smaller tiles were the v1 kernel's downfall).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(qkv, valid3, *extra)
-
-
-def _tiled_valid(key_valid: jax.Array, seq: int, heads: int) -> jax.Array:
-    pack = _head_pack(seq, heads)
-    valid = key_valid.astype(jnp.float32)
-    if pack > 1:
-        valid = jnp.tile(valid, (1, pack))
-    return valid[:, None, :]
+    )(qkv2, valid3, *extra2)
+    return out.reshape(batch, seq, out_cols)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -208,10 +240,9 @@ def fused_qkv_causal_attention(
     Returns:
         (B, S, H*D), ready for the out-projection GEMM.
     """
-    valid3 = _tiled_valid(key_valid, qkv.shape[1], num_heads)
     # Forward packs in the compute dtype (matches _attn_fwd_kernel numerics).
     return _launch(
-        _fwd_kernel, qkv, valid3, (), num_heads * head_dim,
+        _fwd_kernel, qkv, key_valid, (), num_heads * head_dim,
         qkv.shape[1], num_heads, head_dim, interpret, qkv.dtype, 3,
     )
 
@@ -223,11 +254,12 @@ def _fwd(qkv, key_valid, num_heads, head_dim, interpret):
 
 def _bwd(num_heads, head_dim, interpret, residuals, g):
     qkv, key_valid = residuals
-    valid3 = _tiled_valid(key_valid, qkv.shape[1], num_heads)
-    # Backward packs in fp32 (matches _attn_bwd_kernel's fp32 recompute).
+    # Backward packs q/k/v in the compute dtype (the saved values ARE bf16,
+    # so the fp32 upcast happens at the dots — same accumulation as the XLA
+    # oracle's backward) and keeps the softmax/VJP chain in fp32.
     dqkv = _launch(
-        _bwd_kernel, qkv, valid3, (g,), 3 * num_heads * head_dim,
-        qkv.shape[1], num_heads, head_dim, interpret, jnp.float32, 4,
+        _bwd_kernel, qkv, key_valid, (g,), 3 * num_heads * head_dim,
+        qkv.shape[1], num_heads, head_dim, interpret, qkv.dtype, 4,
     )
     return dqkv, None
 

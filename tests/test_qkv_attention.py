@@ -13,7 +13,7 @@ import pytest
 
 from multimodal_timesfm_tpu.ops.attention import xla_causal_attention
 from multimodal_timesfm_tpu.ops.qkv_attention import (
-    _head_pack,
+    _row_tile,
     fused_qkv_causal_attention,
     supports_qkv_fused,
 )
@@ -90,12 +90,12 @@ def test_gradients_match_oracle_bf16():
     )
 
 
-def test_head_pack_divides_and_caps():
-    assert _head_pack(16, 16) == 16  # 256 rows
-    assert _head_pack(64, 16) == 8  # 512 rows
-    assert _head_pack(256, 16) == 2
-    assert _head_pack(512, 16) == 1
-    assert _head_pack(16, 3) == 3
+def test_row_tile_divides_and_caps():
+    assert _row_tile(1024, 16) == 16  # 256 packed rows
+    assert _row_tile(1024, 64) == 4
+    assert _row_tile(1024, 256) == 1
+    assert _row_tile(3, 16) == 3  # batch not a power of two
+    assert _row_tile(6, 128) == 2
 
 
 def test_gate_is_off_without_tpu():
