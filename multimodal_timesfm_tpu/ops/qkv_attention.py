@@ -66,8 +66,15 @@ from multimodal_timesfm_tpu.ops.attention import _masked_softmax, is_tpu_backend
 
 # Packed-row cap: (BT*S)^2 fp32 logits stay ~0.26 MB and the row-tile blocks
 # keep the backward's VMEM (qkv + g + dqkv + per-head slabs) well under the
-# ~16 MB budget.
-_MAX_TILE_ROWS = 256
+# ~16 MB budget. 512 was A/B'd back-to-back on v5e and LOST on both regimes
+# (c512 6,738 vs 7,099 series/s; c2048 1,871 vs 2,036) — the bigger
+# block-diagonal matmuls don't pay for the 4x wasted cross-row MACs and the
+# halved double-buffering overlap. Process-start-only knob (read once at
+# import; compiled programs are not invalidated by flipping it later), kept
+# for back-to-back tile A/Bs.
+import os as _os
+
+_MAX_TILE_ROWS = int(_os.environ.get("MTT_QKV_TILE_ROWS", "256"))
 
 
 def _row_tile(batch: int, seq: int) -> int:
