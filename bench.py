@@ -1130,6 +1130,95 @@ def kernel_check(dtype: str) -> int:
         failures += not ok
         _log(f"[kernel-check] {rows[-1]}")
 
+    def compare_chronos_rowtile(name, seq, batch=8, heads=12, dim=64, segments=2):
+        """Row-tile bidirectional kernel vs a direct jnp T5-attention oracle:
+        fwd + grads including the in-kernel grid-accumulated d_bias output
+        (the Mosaic output-revisit + segment-mask lowering CPU interpret
+        tests cannot check). Segment ids follow the encoder contract:
+        unique per (row, segment), padded tokens each their own id."""
+        nonlocal failures
+        from multimodal_timesfm_tpu.ops.chronos_attention import (
+            fused_chronos_attention,
+            make_rowtile_bias,
+        )
+
+        rng = np.random.default_rng(seq)
+        hd = heads * dim
+        qkv = jnp.asarray(
+            rng.normal(size=(batch, seq, 3 * hd)) / np.sqrt(dim), comp_dtype
+        )
+        bias = jnp.asarray(rng.normal(size=(heads, seq, seq)) * 0.1, jnp.float32)
+        lengths = np.linspace(seq // 4, seq, batch, dtype=int)
+        valid = np.arange(seq)[None, :] < lengths[:, None]
+        base = np.repeat(np.arange(segments), -(-seq // segments))[:seq]
+        row = np.arange(batch)[:, None]
+        tok = row * seq + np.arange(seq)[None, :]
+        seg = jnp.asarray(
+            np.where(valid, base[None] + row * (seq + 1), -1 - tok), jnp.int32
+        )
+        qmask = valid[:, :, None]
+
+        def oracle(qkv, bias):
+            q = qkv[..., :hd].reshape(batch, seq, heads, dim)
+            k = qkv[..., hd : 2 * hd].reshape(batch, seq, heads, dim)
+            v = qkv[..., 2 * hd :].reshape(batch, seq, heads, dim)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) + bias[None]
+            same = seg[:, :, None] == seg[:, None, :]
+            logits = jnp.where(same[:, None], logits, jnp.finfo(jnp.float32).min)
+            w = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum(
+                "bhqk,bkhd->bqhd", w.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).reshape(batch, seq, hd).astype(qkv.dtype)
+
+        def fused(qkv, bias):
+            bd = make_rowtile_bias(bias, batch, seq)
+            return fused_chronos_attention(qkv, seg, bd, heads, dim, interpret)
+
+        def loss_of(attn):
+            def loss(qkv, bias):
+                out = attn(qkv, bias).astype(jnp.float32)
+                return jnp.sum(jnp.where(jnp.asarray(qmask), out, 0.0) ** 2)
+
+            return loss
+
+        if interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            ctx = pltpu.force_tpu_interpret_mode()
+        else:
+            ctx = contextlib.nullcontext()
+        try:
+            with ctx:
+                out = jax.jit(fused)(qkv, bias)
+                ref = jax.jit(oracle)(qkv, bias)
+                g = jax.jit(jax.grad(loss_of(fused), argnums=(0, 1)))(qkv, bias)
+                gr = jax.jit(jax.grad(loss_of(oracle), argnums=(0, 1)))(qkv, bias)
+            fwd_diff = float(
+                np.max(np.abs((np.asarray(out, np.float32) - np.asarray(ref, np.float32)) * qmask))
+            )
+            grad_diff = max(
+                float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+                for a, b in zip(g, gr)
+            )
+            ok = bool(fwd_diff <= atol and grad_diff <= 4 * atol)
+            rows.append(
+                {
+                    "path": name,
+                    "seq": seq,
+                    "fwd_max_diff": fwd_diff,
+                    "grad_max_diff": grad_diff,
+                    "ok": ok,
+                }
+            )
+        except Exception as exc:
+            rows.append({"path": name, "seq": seq, "ok": False, "error": repr(exc)})
+            ok = False
+        failures += not ok
+        _log(f"[kernel-check] {rows[-1]}")
+
     compare("whole-seq", whole, 512)
     # Small-S packed variants: the production geometries pallas_pack selects
     # (S=16 -> pack 16 at 16 heads, S=64 -> pack 8), plus ragged padding.
@@ -1140,6 +1229,9 @@ def kernel_check(dtype: str) -> int:
     compare_qkv_fused("qkv-fused-64", 64)
     # Chronos encoder geometry (padded 67 -> 72 tokens, 12 heads, pack 6).
     compare_bidir("bidir-72x6", 72, 6)
+    # Row-tile Chronos kernel at the bench geometry (padded 72 tokens,
+    # 12 heads, segment-masked) — the default-ON encoder path.
+    compare_chronos_rowtile("chronos-rowtile-72", 72)
     if on_device:
         compare("whole-seq", whole, 1024)  # backward VMEM upper bound
         compare("flash", flash, 2100)  # non-128-multiple: tile-padding route

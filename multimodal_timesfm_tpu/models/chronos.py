@@ -231,66 +231,99 @@ def chronos_encoder(
             the reference adapter path packs one series per row, i.e. one
             segment).
     """
-    _, seq, _ = x.shape
+    batch, seq, _ = x.shape
 
-    pos = jnp.arange(seq)
+    # Fused row-tile Pallas path (default ON on TPU, ops/chronos_attention.py):
+    # the whole encoder runs at S padded to a sublane multiple, each layer's
+    # q/k/v kernels concatenate into ONE fused GEMM whose raw (B, S, 3*H*D)
+    # output the kernel consumes directly, and the backward recomputes the
+    # weights (no logits/probs residuals through the layer scan) while
+    # accumulating the trainable rel-pos bias's cotangent in-kernel. Segment
+    # masking covers both per-row bidirectional attention and the ``pack``ed
+    # group_ids mechanism, so every fine-tune geometry takes this path.
+    # Round-4's opt-in whole-sequence bidir kernel — which LOST -24%
+    # end-to-end to the per-layer q/k/v/g residual stacks its custom-VJP
+    # boundary created (docs/PERF.md) — is superseded by this design.
+    from multimodal_timesfm_tpu.ops.chronos_attention import (
+        fused_chronos_attention,
+        make_rowtile_bias,
+        supports_chronos_rowtile,
+    )
+
+    pad = (-seq) % 8
+    sp = seq + pad
+    rowtile = supports_chronos_rowtile(sp, cfg.num_heads, cfg.head_dim)
+
+    pos = jnp.arange(sp if rowtile else seq)
     rel = pos[None, :] - pos[:, None]  # key - query
     buckets = _relative_bucket(rel, cfg.rel_pos_buckets, cfg.rel_pos_max_distance)
     bias_hss = jnp.transpose(params["rel_pos_bias"][buckets], (2, 0, 1)).astype(
         jnp.float32
     )  # (H, S, S)
-    bias = bias_hss[None]  # (1, H, S, S)
 
-    neg = jnp.finfo(jnp.float32).min
-    allowed = attention_mask[:, None, None, :] > 0  # (B, 1, 1, S)
-    if segment_ids is not None:
-        same = segment_ids[:, :, None] == segment_ids[:, None, :]  # (B, S, S)
-        allowed = allowed & same[:, None, :, :]
-    key_mask = jnp.where(allowed, 0.0, neg)
-
-    # Fused bidirectional Pallas path (OPT-IN via MTT_CHRONOS_FUSED_ATTN=1):
-    # one kernel per layer computes softmax(QK^T + rel-pos bias + key mask) V
-    # whole-sequence in VMEM with ``fused_pack`` head slices packed per
-    # program. The bias is expanded to its block-diagonal packed form ONCE
-    # here — it is layer-independent — and its gradient (baseline mode trains
-    # it) accumulates in-kernel. Measured **-24% end-to-end** at the default
-    # mop geometry (2,961 -> 2,241 series/s back-to-back on v5e, docs/PERF.md
-    # r4) despite exact --kernel-check parity — the custom-VJP boundary
-    # stacks q/k/v/g residuals through the layer scan and severs XLA's
-    # attention<->projection fusions — so the XLA path stays the default.
-    # Segment-packed rows (group_ids mechanism) always keep the XLA path.
-    from multimodal_timesfm_tpu.ops.bidir_attention import (
-        bidir_pack,
-        fused_bidir_attention,
-        make_packed_bias,
-    )
-
-    attn_pad = (-seq) % 8
-    fused_pack = (
-        bidir_pack(seq + attn_pad, cfg.num_heads, cfg.head_dim)
-        if segment_ids is None
-        else None
-    )
-    if fused_pack is not None:
-        bias_exp = make_packed_bias(bias_hss, fused_pack, seq + attn_pad)
-        key_valid_padded = jnp.pad(attention_mask > 0, ((0, 0), (0, attn_pad)))
+    if rowtile:
+        # Attention-group ids: unique per (row, segment) for valid tokens —
+        # segment ids are < sp + 1, so the row offset keeps rows disjoint —
+        # and a unique negative id per padded/invalid token (it attends only
+        # itself: finite garbage, masked as a key everywhere else and sliced
+        # off below). Padded positions beyond ``seq`` are invalid by
+        # construction.
+        valid = jnp.pad(attention_mask > 0, ((0, 0), (0, pad)))
+        base = (
+            segment_ids
+            if segment_ids is not None
+            else jnp.zeros((batch, seq), jnp.int32)
+        )
+        base = jnp.pad(base, ((0, 0), (0, pad)))
+        row = jnp.arange(batch, dtype=jnp.int32)[:, None]
+        tok = row * sp + jnp.arange(sp, dtype=jnp.int32)[None, :]
+        seg = jnp.where(valid, base + row * (sp + 1), -1 - tok)
+        bias_bd = make_rowtile_bias(bias_hss, batch, sp)
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    else:
+        bias = bias_hss[None]  # (1, H, S, S)
+        neg = jnp.finfo(jnp.float32).min
+        allowed = attention_mask[:, None, None, :] > 0  # (B, 1, 1, S)
+        if segment_ids is not None:
+            same = segment_ids[:, :, None] == segment_ids[:, None, :]  # (B, S, S)
+            allowed = allowed & same[:, None, :, :]
+        key_mask = jnp.where(allowed, 0.0, neg)
 
     def body(h, layer):
         normed = L.rms_norm(layer["attn_norm"], h)
         b, s, _ = normed.shape
-        q = L.dense(layer["attn"]["q"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = L.dense(layer["attn"]["k"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        v = L.dense(layer["attn"]["v"], normed).reshape(b, s, cfg.num_heads, cfg.head_dim)
         # T5 convention: no 1/sqrt(d) scaling (folded into weights).
-        if fused_pack is not None:
-            if attn_pad:
-                widths = ((0, 0), (0, attn_pad), (0, 0), (0, 0))
-                q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
-            ctx = fused_bidir_attention(
-                q, k, v, key_valid_padded, bias_exp, False, fused_pack
-            )[:, :s]
+        if rowtile:
+            # One fused qkv GEMM: the concat reads 3 x (D, D) kernels once
+            # per layer (negligible next to the GEMM) and its VJP is three
+            # slices, so baseline-mode weight grads flow unchanged.
+            wqkv = jnp.concatenate(
+                [
+                    layer["attn"]["q"]["kernel"],
+                    layer["attn"]["k"]["kernel"],
+                    layer["attn"]["v"]["kernel"],
+                ],
+                axis=1,
+            )
+            qkv = jnp.dot(normed, wqkv, preferred_element_type=jnp.float32).astype(
+                h.dtype
+            )
+            ctx = fused_chronos_attention(
+                qkv, seg, bias_bd, cfg.num_heads, cfg.head_dim
+            )
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            q = L.dense(layer["attn"]["q"], normed).reshape(
+                b, s, cfg.num_heads, cfg.head_dim
+            )
+            k = L.dense(layer["attn"]["k"], normed).reshape(
+                b, s, cfg.num_heads, cfg.head_dim
+            )
+            v = L.dense(layer["attn"]["v"], normed).reshape(
+                b, s, cfg.num_heads, cfg.head_dim
+            )
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
             logits = logits + bias + key_mask
             # Deliberately the composed softmax, NOT ops.attention.softmax_lowp:
             # the fp32 probs residual it would remove costs ~3% of leaf time
@@ -303,8 +336,8 @@ def chronos_encoder(
             ctx = jnp.einsum(
                 "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
             )
-        ctx = ctx.reshape(b, s, cfg.model_dim).astype(h.dtype)
-        h = h + L.dense(layer["attn"]["out"], ctx)
+            ctx = ctx.reshape(b, s, cfg.model_dim)
+        h = h + L.dense(layer["attn"]["out"], ctx.astype(h.dtype))
 
         normed = L.rms_norm(layer["ffn_norm"], h)
         # L.relu recomputes the pred mask from its saved output in backward,
@@ -315,7 +348,7 @@ def chronos_encoder(
     if cfg.remat:
         body = jax.checkpoint(body)
     out, _ = jax.lax.scan(body, x.astype(cfg.compute_dtype), params["layers"])
-    return L.rms_norm(params["final_norm"], out)
+    return L.rms_norm(params["final_norm"], out)[:, :seq]
 
 
 # ---------------------------------------------------------------------------

@@ -118,7 +118,22 @@ def main() -> int:
         "workload's trace when available; 0.75 = headline-trace default)",
     )
     ap.add_argument("--json", action="store_true", help="print one JSON line only")
+    ap.add_argument(
+        "--force-kernels",
+        action="store_true",
+        help="trace the Pallas kernel paths (gates forced on, as the TPU "
+        "would route small-S attention) so the residual accounting matches "
+        "the production program — the gates are backend-conditional and "
+        "would otherwise pick the XLA path on this CPU trace",
+    )
     args = ap.parse_args()
+
+    if args.force_kernels:
+        from multimodal_timesfm_tpu.ops import chronos_attention as _ca
+        from multimodal_timesfm_tpu.ops import qkv_attention as _qa
+
+        _qa.supports_qkv_fused = lambda *a, **k: True
+        _ca.supports_chronos_rowtile = lambda *a, **k: True
 
     backbone, context, horizon, batch, samples, epochs, mode = bench.WORKLOADS[args.workload]
     arch = bench.WORKLOAD_ARCH.get(args.workload, {})
