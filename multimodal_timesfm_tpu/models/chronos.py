@@ -233,17 +233,17 @@ def chronos_encoder(
     """
     batch, seq, _ = x.shape
 
-    # Fused row-tile Pallas path (default ON on TPU, ops/chronos_attention.py):
-    # the whole encoder runs at S padded to a sublane multiple, each layer's
-    # q/k/v kernels concatenate into ONE fused GEMM whose raw (B, S, 3*H*D)
-    # output the kernel consumes directly, and the backward recomputes the
-    # weights (no logits/probs residuals through the layer scan) while
-    # accumulating the trainable rel-pos bias's cotangent in-kernel. Segment
-    # masking covers both per-row bidirectional attention and the ``pack``ed
-    # group_ids mechanism, so every fine-tune geometry takes this path.
-    # Round-4's opt-in whole-sequence bidir kernel — which LOST -24%
-    # end-to-end to the per-layer q/k/v/g residual stacks its custom-VJP
-    # boundary created (docs/PERF.md) — is superseded by this design.
+    # Fused row-tile Pallas path (opt-in via MTT_CHRONOS_ROWTILE=1,
+    # ops/chronos_attention.py): the whole encoder runs at S padded to a
+    # sublane multiple, each layer's q/k/v kernels concatenate into ONE fused
+    # GEMM whose raw (B, S, 3*H*D) output the kernel consumes directly, and
+    # the backward recomputes the weights (no logits/probs residuals through
+    # the layer scan) while accumulating the trainable rel-pos bias's
+    # cotangent in-kernel. Segment masking covers both per-row bidirectional
+    # attention and the ``pack``ed group_ids mechanism. It superseded
+    # round-4's whole-sequence bidir kernel (−24% end-to-end, removed in r5)
+    # but itself measured −11.5%/−5.7% on the two Chronos bench workloads
+    # (docs/PERF.md r5 levers) — the default is the XLA path below.
     from multimodal_timesfm_tpu.ops.chronos_attention import (
         fused_chronos_attention,
         make_rowtile_bias,

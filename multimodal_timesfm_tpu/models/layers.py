@@ -236,8 +236,8 @@ def causal_attention(
     from multimodal_timesfm_tpu.ops.attention import (
         flash_causal_attention,
         fused_causal_attention,
-        pallas_pack,
         supports_flash,
+        supports_pallas,
         xla_causal_attention,
     )
 
@@ -310,11 +310,8 @@ def causal_attention(
     if "per_dim_scale" in params:
         q = _scale_query(q, params["per_dim_scale"], head_dim)
     key_valid = ~paddings  # (B, N)
-    pack = pallas_pack(seq, num_heads, head_dim)
-    if pack is not None:
-        # pack > 1 at small S: multiple head slices per program fill the MXU
-        # tiles one starved slice cannot (ops/attention._launch).
-        out = fused_causal_attention(q, k, v, key_valid, False, pack)
+    if supports_pallas(seq, head_dim):
+        out = fused_causal_attention(q, k, v, key_valid, False)
     elif supports_flash(seq, head_dim):
         out = flash_causal_attention(q, k, v, key_valid)
     else:

@@ -139,20 +139,21 @@ def xla_causal_attention(q: jax.Array, k: jax.Array, v: jax.Array, key_valid: ja
 # ---------------------------------------------------------------------------
 
 
-def _masked_softmax(q: jax.Array, k: jax.Array, valid: jax.Array, seq: int) -> jax.Array:
+def _masked_softmax(
+    q: jax.Array, k: jax.Array, valid: jax.Array, seq: int | None = None
+) -> jax.Array:
     """In-kernel fp32 softmax(QK^T) with causal + key-padding masking.
 
     q, k: (P*S, D) — ``P = rows // seq`` packed slices of per-slice length
-    ``seq`` stacked on the row axis (P == 1 is the classic one-slice case);
-    valid: (P*S,) float, 1.0 = valid key — the per-slice (S,) mask tiled P
-    times by the LAUNCH (host-side: an in-kernel (P, S) -> (1, P*S) reshape
-    is a Mosaic "unsupported shape cast"; caught by --kernel-check on TPU).
-    Returns (P*S, P*S) fp32, BLOCK-DIAGONAL over slices: cross-slice entries
-    are masked exactly like causal-future ones, so packing is numerically
-    identical to P separate programs while the MXU sees one (P*S)-sized
-    matmul instead of P tiny ones. Fully-masked rows cannot occur for causal
-    self-attention queries at valid positions; padded-query rows produce
-    garbage that downstream masking of the corresponding outputs makes inert.
+    ``seq`` stacked on the row axis (``seq=None`` means one slice spanning
+    all rows — this module's whole-sequence kernels); valid: (P*S,) float,
+    1.0 = valid key. Returns (P*S, P*S) fp32, BLOCK-DIAGONAL over slices:
+    cross-slice entries are masked exactly like causal-future ones (the
+    fused-qkv row-tile kernel, ``ops/qkv_attention.py``, packs a tile of
+    batch rows per program through this path). Fully-masked rows cannot
+    occur for causal self-attention queries at valid positions; padded-query
+    rows produce garbage that downstream masking of the corresponding
+    outputs makes inert.
     """
     s = q.shape[0]
     logits = jax.lax.dot_general(
@@ -160,43 +161,44 @@ def _masked_softmax(q: jax.Array, k: jax.Array, valid: jax.Array, seq: int) -> j
     )
     row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    # Same slice & causal: col <= row within a slice; row//seq == col//seq
-    # kills cross-slice attention (no-op when P == 1).
-    mask = (col <= row) & (row // seq == col // seq) & (valid[None, :] > 0)
+    mask = (col <= row) & (valid[None, :] > 0)
+    if seq is not None and seq != s:
+        # Same-slice constraint kills cross-row attention within a tile.
+        mask &= row // seq == col // seq
     logits = jnp.where(mask, logits, _NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _attn_fwd_kernel(q_ref: Any, k_ref: Any, v_ref: Any, valid_ref: Any, o_ref: Any, *, seq: int) -> None:
-    """One program: fused softmax(QK^T + causal + padding) V over packed slices.
+def _attn_fwd_kernel(q_ref: Any, k_ref: Any, v_ref: Any, valid_ref: Any, o_ref: Any) -> None:
+    """One program: fused softmax(QK^T + causal + padding) V for one
+    (batch, head) slice.
 
     ``valid_ref`` is this program's (1, 1, S) block of the (B, 1, S) mask —
     the block index map folds the head dimension, so the mask is neither
-    repeated per head in HBM nor resident whole in VMEM. ``seq`` is the
-    per-slice length; the block's row count is ``pack * seq``.
+    repeated per head in HBM nor resident whole in VMEM.
     """
-    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0, 0], seq)
+    w = _masked_softmax(q_ref[0], k_ref[0], valid_ref[0, 0])
     o_ref[0] = jax.lax.dot_general(
         w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(q_ref: Any, k_ref: Any, v_ref: Any, valid_ref: Any, g_ref: Any, dq_ref: Any, dk_ref: Any, dv_ref: Any, *, seq: int) -> None:
-    """Fused backward for one program (packed slices, see the forward kernel).
+def _attn_bwd_kernel(q_ref: Any, k_ref: Any, v_ref: Any, valid_ref: Any, g_ref: Any, dq_ref: Any, dk_ref: Any, dv_ref: Any) -> None:
+    """Fused backward for one program (one (batch, head) slice).
 
     Recomputes W = softmax(masked QK^T), then
         dV = W^T g,   dW = g V^T,
         dL = W * (dW - rowsum(dW * W))   (softmax VJP),
         dQ = dL K,    dK = dL^T Q.
-    Masked entries (causal-future AND cross-slice) have W = 0, so dL vanishes
-    there automatically — the packed backward is exact.
+    Masked (causal-future) entries have W = 0, so dL vanishes there
+    automatically — the backward is exact.
     """
     q = q_ref[0]
     k = k_ref[0]
-    w = _masked_softmax(q, k, valid_ref[0, 0], seq)
+    w = _masked_softmax(q, k, valid_ref[0, 0])
 
     g32 = g_ref[0].astype(jnp.float32)
     v32 = v_ref[0].astype(jnp.float32)
@@ -239,46 +241,27 @@ def _launch(
     key_valid: jax.Array,
     extra: tuple = (),
     interpret: bool = False,
-    pack: int = 1,
 ) -> Any:
     batch, seq, heads, dim = q.shape
-    if pack < 1 or heads % pack:
-        raise ValueError(f"pack ({pack}) must divide num_heads ({heads})")
-    # (B, 1, pack*S) — NOT repeated per head. The singleton middle axis makes
-    # the mask block's trailing dims (1, pack*S) EQUAL the array's trailing
+    # (B, 1, S) — NOT repeated per head. The singleton middle axis makes
+    # the mask block's trailing dims (1, S) EQUAL the array's trailing
     # dims, which the Mosaic TPU lowering requires (a (1, S) block over a
     # (B, S) array has second-to-last block dim 1 vs array dim B — rejected
     # unless B == 1; caught on-TPU at context 16384, invisible to CPU
-    # interpret tests). The per-slice mask is tiled ``pack`` times HOST-side:
-    # an in-kernel (pack, S) -> (1, pack*S) reshape is a Mosaic "unsupported
-    # shape cast" (caught by --kernel-check); the tile costs B * pack*S
-    # floats of HBM, shared by all head programs of a batch row.
-    valid = key_valid.astype(jnp.float32)
-    if pack > 1:
-        valid = jnp.tile(valid, (1, pack))
-    valid = valid[:, None, :]
-    # ``pack`` consecutive (batch*head) slices run in ONE program as a
-    # (pack*S, D) block — at small S the per-slice matmuls starve the MXU
-    # (S=16 is an eighth of one 128-lane tile), so packing head slices row-
-    # wise turns them into one MXU-sized matmul; the kernel masks cross-slice
-    # entries (exact, see _masked_softmax). pack must divide heads so every
-    # slice in a program shares one batch row (=> one shared padding mask).
-    spec = pl.BlockSpec((1, pack * seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # interpret tests).
+    valid = key_valid.astype(jnp.float32)[:, None, :]
+    spec = pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Each program reads only its batch row's mask block; the index map folds
-    # the head dim, so VMEM holds (1, pack*S) instead of the full (B*H, S)
+    # the head dim, so VMEM holds (1, S) instead of the full (B*H, S)
     # array (which scaled with batch*heads and blew the budget at large B*H).
     mask_spec = pl.BlockSpec(
-        (1, 1, pack * seq), lambda i: (i * pack // heads, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, seq), lambda i: (i // heads, 0, 0), memory_space=pltpu.VMEM
     )
 
-    grid = (batch * heads // pack,)
-    kernel = functools.partial(kernel, seq=seq)
-
-    def pack_rows(x):  # (B*H, S, D) -> (B*H/pack, pack*S, D), contiguous
-        return x.reshape(batch * heads // pack, pack * seq, dim)
+    grid = (batch * heads,)
 
     out_shape = [
-        jax.ShapeDtypeStruct((batch * heads // pack, pack * seq, dim), q.dtype)
+        jax.ShapeDtypeStruct((batch * heads, seq, dim), q.dtype)
     ] * num_outputs
     out_specs = [spec] * num_outputs
     if num_outputs == 1:
@@ -291,16 +274,15 @@ def _launch(
         in_specs=[spec, spec, spec, mask_spec] + [spec] * len(extra),
         out_specs=out_specs,
         interpret=interpret,
-    )(pack_rows(_flatten_heads(q)), pack_rows(_flatten_heads(k)),
-      pack_rows(_flatten_heads(v)), valid,
-      *[pack_rows(_flatten_heads(e)) for e in extra])
+    )(_flatten_heads(q), _flatten_heads(k), _flatten_heads(v), valid,
+      *[_flatten_heads(e) for e in extra])
 
-    def unpack(o):
-        return _unflatten_heads(o.reshape(batch * heads, seq, dim), batch, heads)
+    def unflatten(o):
+        return _unflatten_heads(o, batch, heads)
 
     if num_outputs == 1:
-        return unpack(outs)
-    return tuple(unpack(o) for o in outs)
+        return unflatten(outs)
+    return tuple(unflatten(o) for o in outs)
 
 
 # ---------------------------------------------------------------------------
@@ -308,33 +290,28 @@ def _launch(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_causal_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     key_valid: jax.Array,
     interpret: bool = False,
-    pack: int = 1,
 ) -> jax.Array:
-    """Pallas-fused causal attention; differentiable (Pallas backward kernel).
-
-    ``pack`` packs that many consecutive head slices per program (see
-    ``_launch``) — numerically identical to pack=1, MXU-efficient at small S.
-    """
-    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret, pack=pack)
+    """Pallas-fused causal attention; differentiable (Pallas backward kernel)."""
+    return _launch(_attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret)
 
 
-def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, key_valid: jax.Array, interpret: bool, pack: int) -> Any:
+def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, key_valid: jax.Array, interpret: bool) -> Any:
     return _launch(
-        _attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret, pack=pack
+        _attn_fwd_kernel, 1, q, k, v, key_valid, interpret=interpret
     ), (q, k, v, key_valid)
 
 
-def _bwd(interpret: bool, pack: int, residuals: tuple, g: jax.Array) -> tuple:
+def _bwd(interpret: bool, residuals: tuple, g: jax.Array) -> tuple:
     q, k, v, key_valid = residuals
     dq, dk, dv = _launch(
-        _attn_bwd_kernel, 3, q, k, v, key_valid, extra=(g,), interpret=interpret, pack=pack
+        _attn_bwd_kernel, 3, q, k, v, key_valid, extra=(g,), interpret=interpret
     )
     return dq, dk, dv, None
 
@@ -411,7 +388,7 @@ def supports_flash(seq: int, dim: int) -> bool:
 
 
 def supports_pallas(seq: int, dim: int) -> bool:
-    """Size gate for the whole-sequence kernels at pack=1, set by v5e measurements.
+    """Size gate for the whole-sequence kernels, set by v5e measurements.
 
     Lower bound: ONE (batch*head) slice per program does tiny matmuls at
     small S, where XLA's batched attention GEMMs win. Reproduce the crossover
@@ -419,8 +396,11 @@ def supports_pallas(seq: int, dim: int) -> bool:
     bf16): S=64 pallas 0.68x (XLA wins), S=256 1.02x, S=512 1.06x, S=1024
     2.19x. End-to-end training measurements (TimesFM 200M) showed the same
     shape with a larger S=512 win (1.9x). Crossover sits between 128 and 256.
-    Below it, ``pallas_pack`` packs multiple head slices per program instead
-    of falling back to XLA.
+    Below it the small-S regimes take the fused-qkv row-tile kernel
+    (``ops/qkv_attention.py``; its predecessor — packing head slices per
+    program in THIS kernel — won the isolated micro-bench but lost −13/−15%
+    end-to-end to its per-layer q/k/v/g custom-VJP residual stacks, docs/
+    PERF.md r4, and was removed in r5 when the row-tile kernel superseded it).
 
     Upper bound: the BACKWARD kernel holds three (S, S) fp32 VMEM buffers;
     S=1024 compiles on v5e, S=2048 does not.
@@ -428,39 +408,3 @@ def supports_pallas(seq: int, dim: int) -> bool:
     if _FORCE_XLA or not is_tpu_backend():
         return False
     return seq >= 256 and seq % 8 == 0 and seq <= 1024 and dim <= 256
-
-
-def pallas_pack(seq: int, heads: int, dim: int) -> int | None:
-    """Choose the whole-sequence kernel's pack factor, or None for no Pallas.
-
-    At S >= 256 one slice per program already feeds the MXU (pack=1, the
-    ``supports_pallas`` regime). Below the crossover the per-program matmuls
-    are tile-starved — S=16 fills an eighth of one 128-row MXU tile — and
-    packing consecutive head slices per program up to ~512 rows DOES win the
-    isolated fwd+bwd micro-bench (v5e: S=16 pack=8-16 ~1.1x vs 0.47x unpacked;
-    S=64 pack=8 1.35x), but LOSES end-to-end inside the scanned transformer:
-    back-to-back workload A/Bs measured c512 -13% and c2048 -15% (docs/
-    PERF.md r4) — the custom-VJP boundary stacks q/k/v/g residual streams
-    through the layer scan and severs XLA's fusion of attention with the
-    surrounding projections, costs the isolated micro-bench never pays. So
-    small-S packing is OFF by default (``MTT_ATTN_SMALL_PACK=1`` re-enables
-    for experiments; pack must divide ``heads`` — one shared padding mask per
-    program, see ``_launch``).
-    """
-    if _FORCE_XLA or not is_tpu_backend():
-        return None
-    if seq % 8 or dim > 256:
-        return None
-    if seq >= 256:
-        return 1 if seq <= 1024 else None
-    import os
-
-    if os.environ.get("MTT_ATTN_SMALL_PACK", "0").lower() not in ("1", "true", "yes"):
-        return None
-    pack = 1
-    for cand in range(1, heads + 1):
-        if heads % cand == 0 and cand * seq <= 512:
-            pack = cand
-    # A lone tile-starved slice per program loses to XLA (supports_pallas
-    # measurements) — only take the kernel when packing actually helps.
-    return pack if pack > 1 else None

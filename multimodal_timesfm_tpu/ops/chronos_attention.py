@@ -4,11 +4,18 @@ The Chronos-2 encoder's attention middle on the bench geometries (67-80
 tokens/row, 12 heads) is the same XLA churn the TimesFM fused-qkv kernel
 removed (``ops/qkv_attention.py``): q/k/v slice+reshape copies, ``bhqk``
 layout transposes, fp32 logits + probs residual streams stacked per layer
-through the scan. Round-4's opt-in ``ops/bidir_attention.py`` kernel lost
+through the scan. Round-4's opt-in whole-sequence bidir kernel lost
 end-to-end for exactly the custom-VJP-residual reason (docs/PERF.md): it
-saved q/k/v/g per layer and severed XLA's attention<->projection fusions.
-This kernel applies the row-tile design that fixed that for TimesFM, plus
-the two T5 extras:
+saved q/k/v/g per layer and severed XLA's attention<->projection fusions
+(superseded by this kernel and removed in r5). This kernel applies the
+row-tile design that fixed that for TimesFM, plus the two T5 extras.
+
+OUTCOME (r5, docs/PERF.md levers): despite exact ``--kernel-check`` parity
+it measured an end-to-end LOSER on both Chronos workloads (−11.5%
+multimodal, −5.7% baseline) — the bidirectional regime's block-diagonal
+fp32 bias stream per layer outweighs the removed churn — so it ships
+OPT-IN (``MTT_CHRONOS_ROWTILE=1``) as this family's documented
+negative-result kernel. Design details:
 
   * input is the fused qkv projection output in its NATURAL ``(B, S, 3*H*D)``
     layout (the encoder concatenates the three projection kernels into one
@@ -268,12 +275,25 @@ def fused_chronos_attention(
     return out.reshape(batch, sp, hd)
 
 
-def _fwd(qkv, seg, bias_bd, num_heads, head_dim, interpret):
+def _fwd(
+    qkv: jax.Array,
+    seg: jax.Array,
+    bias_bd: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    interpret: bool,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array, jax.Array]]:
     out = fused_chronos_attention(qkv, seg, bias_bd, num_heads, head_dim, interpret)
     return out, (qkv, seg, bias_bd)
 
 
-def _bwd(num_heads, head_dim, interpret, residuals, g):
+def _bwd(
+    num_heads: int,
+    head_dim: int,
+    interpret: bool,
+    residuals: tuple[jax.Array, jax.Array, jax.Array],
+    g: jax.Array,
+) -> tuple[jax.Array, None, jax.Array]:
     qkv, seg, bias_bd = residuals
     batch, sp, _ = qkv.shape
     bt = _row_tile(batch, sp)
@@ -309,19 +329,26 @@ fused_chronos_attention.defvjp(_fwd, _bwd)
 
 
 def supports_chronos_rowtile(seq: int, heads: int, dim: int) -> bool:
-    """Gate for the fused row-tile encoder path: the short-row regimes
-    (<= the tile cap, i.e. every Chronos-2 fine-tune geometry in the bench
-    matrix) where the XLA attention middle's layout churn and residual
-    streams dominate. Off-TPU: False (interpret mode is for tests only).
+    """Gate for the fused row-tile encoder path. OFF by default: the
+    back-to-back TPU A/B measured it as an end-to-end LOSER on both Chronos
+    bench workloads (chronos_mm_h32 2,969 -> 2,627 series/s, MFU 0.475 ->
+    0.420; chronos_baseline_h32 1,909 -> 1,800, MFU 0.458 -> 0.432) despite
+    exact ``--kernel-check`` parity — unlike TimesFM's causal decoder, the
+    T5 encoder's block-diagonal bias tiling adds an (H*BT*S, BT*S) fp32
+    stream per layer that outweighs the removed layout churn (docs/PERF.md
+    levers table, r5). ``MTT_CHRONOS_ROWTILE=1`` opts in (process-start
+    only: the flag is read at trace time, so flipping it mid-process does
+    not invalidate compiled programs). Off-TPU: False (interpret mode is
+    for tests only).
     """
     from multimodal_timesfm_tpu.ops import attention as _attn
 
     if _attn._FORCE_XLA or not is_tpu_backend():
         return False
-    if os.environ.get("MTT_CHRONOS_ROWTILE", "1").strip().lower() in (
-        "0",
-        "false",
-        "no",
+    if os.environ.get("MTT_CHRONOS_ROWTILE", "0").strip().lower() not in (
+        "1",
+        "true",
+        "yes",
     ):
         return False
     return seq % 8 == 0 and 8 <= seq <= _TILE_CAP and dim <= 256 and dim % 8 == 0

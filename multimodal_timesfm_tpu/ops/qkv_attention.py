@@ -254,12 +254,24 @@ def fused_qkv_causal_attention(
     )
 
 
-def _fwd(qkv, key_valid, num_heads, head_dim, interpret):
+def _fwd(
+    qkv: jax.Array,
+    key_valid: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    interpret: bool,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     out = fused_qkv_causal_attention(qkv, key_valid, num_heads, head_dim, interpret)
     return out, (qkv, key_valid)
 
 
-def _bwd(num_heads, head_dim, interpret, residuals, g):
+def _bwd(
+    num_heads: int,
+    head_dim: int,
+    interpret: bool,
+    residuals: tuple[jax.Array, jax.Array],
+    g: jax.Array,
+) -> tuple[jax.Array, None]:
     qkv, key_valid = residuals
     # Backward packs q/k/v in the compute dtype (the saved values ARE bf16,
     # so the fp32 upcast happens at the dots — same accumulation as the XLA

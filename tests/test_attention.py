@@ -63,75 +63,18 @@ def test_causality_in_kernel():
     )
 
 
-@pytest.mark.parametrize("pack", [2, 4])
-def test_packed_kernel_matches_xla_forward(pack):
-    """pack>1 (multiple head slices per program) is numerically identical to
-    the per-slice kernel AND the XLA oracle, padding included."""
-    q, k, v, valid = _inputs(batch=2, seq=16, heads=4, dim=8, seed=11)
-    ref = xla_causal_attention(q, k, v, valid)
-    out = fused_causal_attention(q, k, v, valid, True, pack)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-
-
-@pytest.mark.parametrize("pack", [2, 4])
-def test_packed_kernel_gradients_match_xla(pack):
-    q, k, v, valid = _inputs(batch=2, seq=16, heads=4, dim=8, seed=12)
-
-    def loss_kernel(q, k, v):
-        return jnp.sum(fused_causal_attention(q, k, v, valid, True, pack) ** 2)
-
-    def loss_xla(q, k, v):
-        return jnp.sum(xla_causal_attention(q, k, v, valid) ** 2)
-
-    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
-    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g_kernel, g_xla):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-
-
-def test_packed_kernel_no_cross_slice_leakage():
-    """Perturbing one head's k/v must not change any OTHER head's output when
-    both are packed into one program (the block-diagonal mask)."""
-    q, k, v, valid = _inputs(batch=1, seq=16, heads=4, dim=8, seed=13)
-    base = fused_causal_attention(q, k, v, valid, True, 4)
-    k2 = k.at[:, :, 0].add(100.0)
-    v2 = v.at[:, :, 0].add(100.0)
-    pert = fused_causal_attention(q, k2, v2, valid, True, 4)
-    np.testing.assert_allclose(
-        np.asarray(base[:, :, 1:]), np.asarray(pert[:, :, 1:]), atol=1e-5
-    )
-    assert not np.allclose(np.asarray(base[:, :, 0]), np.asarray(pert[:, :, 0]))
-
-
-def test_pack_must_divide_heads():
-    q, k, v, valid = _inputs(batch=1, seq=16, heads=4, dim=8)
-    with pytest.raises(ValueError, match="divide"):
-        fused_causal_attention(q, k, v, valid, True, 3)
-
-
-def test_pallas_pack_selection(monkeypatch):
-    """Small-S packing is opt-in (measured e2e negative); classic regime on."""
-    from multimodal_timesfm_tpu.ops import attention as A
-
-    assert A.pallas_pack(16, 16, 80) is None  # CPU backend
-    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
-    # Small-S packing is opt-in (measured -13-15% end-to-end, docs/PERF.md).
-    assert A.pallas_pack(16, 16, 80) is None
-    assert A.pallas_pack(512, 16, 80) == 1      # classic regime stays on
-    monkeypatch.setenv("MTT_ATTN_SMALL_PACK", "1")
-    assert A.pallas_pack(16, 16, 80) == 16      # 256 rows
-    assert A.pallas_pack(64, 16, 80) == 8       # 512 rows (micro optimum)
-    assert A.pallas_pack(2048, 16, 80) is None  # beyond VMEM cap -> flash/XLA
-    assert A.pallas_pack(17, 16, 80) is None    # non-multiple-of-8
-    assert A.pallas_pack(16, 1, 80) is None     # cannot pack: XLA wins alone
-    assert A.pallas_pack(512, 16, 80) == 1      # classic regime unaffected
-
-
-def test_supports_pallas_gates():
+def test_supports_pallas_gates(monkeypatch):
     # CPU backend in tests -> always False; the shape logic is still exercised.
     assert not supports_pallas(1, 80)
     assert not supports_pallas(17, 80)
     assert not supports_pallas(2048, 80)  # backward VMEM cap
+    from multimodal_timesfm_tpu.ops import attention as A
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    assert A.supports_pallas(512, 80)   # classic regime on
+    assert A.supports_pallas(1024, 80)  # backward VMEM upper bound inclusive
+    assert not A.supports_pallas(16, 80)   # small S: qkv row-tile kernel's regime
+    assert not A.supports_pallas(2048, 80)
 
 
 def test_flash_matches_xla_forward_interpret():

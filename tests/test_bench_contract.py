@@ -94,7 +94,8 @@ def test_kernel_check_passes_on_cpu(capsys):
     assert payload["metric"] == "attention_kernel_check"
     assert payload["failures"] == 0
     assert {r["path"] for r in payload["rows"]} == {
-        "whole-seq", "flash", "packed-16x16", "packed-64x8", "bidir-72x6",
+        "whole-seq", "flash", "qkv-fused-16", "qkv-fused-64",
+        "chronos-rowtile-72",
     }
     assert all(r["ok"] for r in payload["rows"])
 
