@@ -377,8 +377,12 @@ WORKLOADS: dict[str, tuple[str, int, int, int, int, int, str]] = {
     "timesfm_mm_c2048": ("timesfm", 2048, 32, 64, 2048, 2, "multimodal"),
     # TimesFM's max context (16k steps = 512 patch tokens): the Pallas
     # whole-sequence attention kernel's regime. NOT in the default set —
-    # run via --workloads timesfm_mm_c16384 (large compile).
-    "timesfm_mm_c16384": ("timesfm", 16384, 32, 16, 96, 1, "multimodal"),
+    # run via --workloads timesfm_mm_c16384 (large compile). Samples raised
+    # 96 -> 768 in r5: at 96 (6 steps/dispatch) the 116ms fixed cost was
+    # 24% of the step budget and CAPPED the roofline ceiling at MFU 0.465
+    # (scripts/roofline.py) — the r3 deeper-amortization lever was never
+    # applied here. 768 samples = 48 steps -> fixed share ~3%.
+    "timesfm_mm_c16384": ("timesfm", 16384, 32, 16, 768, 1, "multimodal"),
     # Chronos-2 at the checkpoint-default max_output_patches=64 (the
     # parity-safe setting; see PARITY.md "max_output_patches semantics").
     "chronos_mm_h32": ("chronos", 32, 32, 128, 4096, 2, "multimodal"),
@@ -826,7 +830,6 @@ def attention_bench(dtype: str) -> int:
     from multimodal_timesfm_tpu.ops.attention import (
         fused_causal_attention,
         is_tpu_backend,
-        pallas_pack,
         supports_pallas,
         xla_causal_attention,
     )
@@ -835,18 +838,18 @@ def attention_bench(dtype: str) -> int:
     comp_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     heads, dim = 16, 80
     rows = []
-    # (seq, batch, packs-to-try): small S at training-realistic batch (the
-    # c512/c2048 workloads run 16/64 tokens at batch 256/64), classic S at 8.
+    # (seq, batch): small S at training-realistic batch (the c512/c2048
+    # workloads run 16/64 tokens at batch 256/64), classic S at 8.
     cases = [
-        (16, 256, (1, 4, 8, 16)),
-        (64, 64, (1, 4, 8, 16)),
-        (64, 8, (1,)),
-        (128, 8, (1,)),
-        (256, 8, (1,)),
-        (512, 8, (1,)),
-        (1024, 8, (1,)),
+        (16, 256),
+        (64, 64),
+        (64, 8),
+        (128, 8),
+        (256, 8),
+        (512, 8),
+        (1024, 8),
     ]
-    for seq, batch, packs in cases:
+    for seq, batch in cases:
         rng = np.random.default_rng(seq)
         q, k, v = (
             jnp.asarray(rng.normal(size=(batch, seq, heads, dim)), comp_dtype) for _ in range(3)
@@ -869,27 +872,21 @@ def attention_bench(dtype: str) -> int:
             return (time.perf_counter() - t0) / reps
 
         xla_t = timeit(loss_of(xla_causal_attention), q, k, v)
-        for pack in packs:
-            pallas_fn = loss_of(
-                lambda q, k, v, m, _p=pack: fused_causal_attention(q, k, v, m, interpret, _p)
-            )
-            pallas_t = timeit(pallas_fn, q, k, v)
-            rows.append(
-                {
-                    "seq": seq,
-                    "batch": batch,
-                    "pack": pack,
-                    "xla_ms": round(xla_t * 1e3, 3),
-                    "pallas_ms": round(pallas_t * 1e3, 3),
-                    "pallas_speedup": round(xla_t / pallas_t, 3),
-                    "gate_selects": (
-                        "pallas" if (supports_pallas(seq, dim) and pack == 1)
-                        or pallas_pack(seq, heads, dim) == pack
-                        else "xla"
-                    ),
-                }
-            )
-            _log(f"[attention-bench] {rows[-1]}")
+        pallas_fn = loss_of(
+            lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret)
+        )
+        pallas_t = timeit(pallas_fn, q, k, v)
+        rows.append(
+            {
+                "seq": seq,
+                "batch": batch,
+                "xla_ms": round(xla_t * 1e3, 3),
+                "pallas_ms": round(pallas_t * 1e3, 3),
+                "pallas_speedup": round(xla_t / pallas_t, 3),
+                "gate_selects": "pallas" if supports_pallas(seq, dim) else "xla",
+            }
+        )
+        _log(f"[attention-bench] {rows[-1]}")
     print(json.dumps({"metric": "pallas_attention_crossover", "rows": rows}))
     return 0
 
@@ -991,78 +988,6 @@ def kernel_check(dtype: str) -> int:
 
     whole = lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret)  # noqa: E731
     flash = lambda q, k, v, m: flash_causal_attention(q, k, v, m, interpret)  # noqa: E731
-
-    def packed(p):
-        return lambda q, k, v, m: fused_causal_attention(q, k, v, m, interpret, p)
-
-    def compare_bidir(name, seq, pack, batch=4, heads=12, dim=64):
-        """Bidirectional + rel-pos-bias kernel vs its XLA oracle (fwd + grads
-        incl. the in-kernel batch-accumulated d_bias — the Mosaic output-
-        revisit pattern CPU interpret tests cannot lowering-check)."""
-        nonlocal failures
-        from multimodal_timesfm_tpu.ops.bidir_attention import (
-            fused_bidir_attention,
-            make_packed_bias,
-            xla_bidir_attention,
-        )
-
-        rng = np.random.default_rng(seq)
-        scale = 1.0 / np.sqrt(dim)
-        q, k, v = (
-            jnp.asarray(rng.normal(size=(batch, seq, heads, dim)) * scale, comp_dtype)
-            for _ in range(3)
-        )
-        bias = jnp.asarray(rng.normal(size=(heads, seq, seq)) * 0.1, jnp.float32)
-        lengths = np.linspace(seq // 4, seq, batch, dtype=int)
-        valid = jnp.asarray(np.arange(seq)[None, :] < lengths[:, None])
-
-        def loss_of(attn):
-            def loss(q, k, v, bias):
-                return jnp.sum(attn(q, k, v, bias).astype(jnp.float32) ** 2)
-
-            return loss
-
-        def fused(q, k, v, bias):
-            exp = make_packed_bias(bias, pack, seq)
-            return fused_bidir_attention(q, k, v, valid, exp, interpret, pack)
-
-        def oracle(q, k, v, bias):
-            return xla_bidir_attention(q, k, v, valid, bias)
-
-        if interpret:
-            from jax.experimental.pallas import tpu as pltpu
-
-            ctx = pltpu.force_tpu_interpret_mode()
-        else:
-            ctx = contextlib.nullcontext()
-        try:
-            with ctx:
-                out = jax.jit(fused)(q, k, v, bias)
-                ref = jax.jit(oracle)(q, k, v, bias)
-                g = jax.jit(jax.grad(loss_of(fused), argnums=(0, 1, 2, 3)))(q, k, v, bias)
-                gr = jax.jit(jax.grad(loss_of(oracle), argnums=(0, 1, 2, 3)))(q, k, v, bias)
-            fwd_diff = float(
-                np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)))
-            )
-            grad_diff = max(
-                float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
-                for a, b in zip(g, gr)
-            )
-            ok = bool(fwd_diff <= atol and grad_diff <= 4 * atol)
-            rows.append(
-                {
-                    "path": name,
-                    "seq": seq,
-                    "fwd_max_diff": fwd_diff,
-                    "grad_max_diff": grad_diff,
-                    "ok": ok,
-                }
-            )
-        except Exception as exc:
-            rows.append({"path": name, "seq": seq, "ok": False, "error": repr(exc)})
-            ok = False
-        failures += not ok
-        _log(f"[kernel-check] {rows[-1]}")
 
     def compare_qkv_fused(name, seq, batch=8, heads=16, dim=80):
         """Fused-qkv small-S kernel vs the slice/reshape + XLA oracle: the
@@ -1220,17 +1145,12 @@ def kernel_check(dtype: str) -> int:
         _log(f"[kernel-check] {rows[-1]}")
 
     compare("whole-seq", whole, 512)
-    # Small-S packed variants: the production geometries pallas_pack selects
-    # (S=16 -> pack 16 at 16 heads, S=64 -> pack 8), plus ragged padding.
-    compare("packed-16x16", packed(16), 16, batch=8, heads=16, dim=80)
-    compare("packed-64x8", packed(8), 64, batch=8, heads=16, dim=80)
     # Fused-qkv kernel at the production c512/c2048 geometries.
     compare_qkv_fused("qkv-fused-16", 16)
     compare_qkv_fused("qkv-fused-64", 64)
-    # Chronos encoder geometry (padded 67 -> 72 tokens, 12 heads, pack 6).
-    compare_bidir("bidir-72x6", 72, 6)
     # Row-tile Chronos kernel at the bench geometry (padded 72 tokens,
-    # 12 heads, segment-masked) — the default-ON encoder path.
+    # 12 heads, segment-masked) — opt-in (MTT_CHRONOS_ROWTILE=1; measured
+    # end-to-end loser, docs/PERF.md r5), kept oracle-validated here.
     compare_chronos_rowtile("chronos-rowtile-72", 72)
     if on_device:
         compare("whole-seq", whole, 1024)  # backward VMEM upper bound

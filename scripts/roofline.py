@@ -129,11 +129,24 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.force_kernels:
+        from multimodal_timesfm_tpu.ops import attention as _attn
         from multimodal_timesfm_tpu.ops import chronos_attention as _ca
         from multimodal_timesfm_tpu.ops import qkv_attention as _qa
 
         _qa.supports_qkv_fused = lambda *a, **k: True
         _ca.supports_chronos_rowtile = lambda *a, **k: True
+        # Whole-seq kernel gate (the c16384 / 512-token regime): keep its
+        # shape constraints, drop only the backend check.
+        _supports = _attn.supports_pallas
+
+        def _force_pallas(seq: int, dim: int) -> bool:
+            return 256 <= seq <= 1024 and seq % 8 == 0 and dim <= 256
+
+        _attn.supports_pallas = _force_pallas
+        # layers.py imports the gate at call time from the module, so the
+        # monkeypatch is seen; interpret=False pallas_call still TRACES fine
+        # on CPU (tracing never executes the kernel).
+        del _supports
 
     backbone, context, horizon, batch, samples, epochs, mode = bench.WORKLOADS[args.workload]
     arch = bench.WORKLOAD_ARCH.get(args.workload, {})
