@@ -468,12 +468,23 @@ def run_workload(
         # Diagnostic only — a failed trace export must not discard the
         # already-completed measurement (the headline JSON must always land).
         try:
-            from multimodal_timesfm_tpu.utils.profiling import summarize_trace
+            from multimodal_timesfm_tpu.utils.profiling import (
+                gemm_efficiency,
+                summarize_trace,
+            )
 
             summary = summarize_trace(profile_dir, top=10)
             _log(f"[bench] {name}: device op time {summary['device_busy_ms']}ms; top ops:")
             for op, ms, share in summary["top_ops"]:
                 _log(f"  {op}: {ms}ms ({share:.1%})")
+            eff = gemm_efficiency(profile_dir, peak_flops=peak_flops_per_sec() or 197e12)
+            _log(
+                f"[bench] {name}: GEMM eff (duration-weighted) {eff['weighted_eff']:.3f} "
+                f"of peak over {eff['flop_ms']}ms FLOP-ops "
+                f"(+{eff['non_flop_ms']}ms non-FLOP); top GEMMs:"
+            )
+            for op, ncalls, ms, gf, frac in eff["top_gemms"]:
+                _log(f"  {op}: x{ncalls} {ms}ms {gf}GF/call eff={frac:.2f}")
         except Exception as exc:  # noqa: BLE001 - diagnostics only
             _log(f"[bench] {name}: trace summary unavailable ({exc})")
 

@@ -97,6 +97,84 @@ def summarize_trace(log_dir: str | Path, top: int = 20) -> dict:
     }
 
 
+def gemm_efficiency(log_dir: str | Path, peak_flops: float = 197e12, top: int = 12) -> dict:
+    """Per-GEMM sustained efficiency vs peak, read from the newest trace.
+
+    The roofline method (docs/PERF.md, scripts/roofline.py) needs each
+    workload's OWN measured GEMM efficiency, not a borrowed default: XLA Ops
+    trace events carry ``model_flops`` in their args, so sustained FLOP/s per
+    op is ``model_flops x occurrences / total_duration``. Ops without
+    ``model_flops`` (copies, reduces, layout ops) are reported separately as
+    ``non_flop_ms`` — they are the traffic terms the roofline accounts via
+    bytes, not compute.
+
+    Returns dict with ``flop_ms``/``non_flop_ms``, ``weighted_eff`` (the
+    duration-weighted fraction-of-peak across all FLOP-carrying ops — the
+    value to pass to ``scripts/roofline.py --eff``), and ``top_gemms``:
+    ``(op, calls, total_ms, gflop_per_call, frac_of_peak)``.
+    """
+    import collections
+    import gzip
+    import json
+
+    traces = sorted(Path(log_dir).rglob("*.trace.json.gz"))
+    if not traces:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    with gzip.open(traces[-1]) as f:
+        events = json.load(f).get("traceEvents", [])
+
+    pids: dict = {}
+    tids: dict = {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    device_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n or "device" in n.lower()}
+
+    dur_us: collections.Counter = collections.Counter()
+    calls: collections.Counter = collections.Counter()
+    flops_per_call: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in device_pids:
+            continue
+        if tids.get((e["pid"], e.get("tid"))) != "XLA Ops" or e["name"].startswith("while"):
+            continue
+        dur_us[e["name"]] += e.get("dur", 0)
+        calls[e["name"]] += 1
+        mf = (e.get("args") or {}).get("model_flops")
+        if mf is not None:
+            try:
+                flops_per_call[e["name"]] = float(mf)
+            except (TypeError, ValueError):
+                pass
+
+    flop_us = 0.0
+    flop_total = 0.0
+    rows = []
+    for name, us in dur_us.items():
+        f = flops_per_call.get(name, 0.0)
+        if f <= 0 or us <= 0:
+            continue
+        flop_us += us
+        total_f = f * calls[name]
+        flop_total += total_f
+        rows.append((name, calls[name], us / 1e3, f / 1e9, (total_f / (us * 1e-6)) / peak_flops))
+    rows.sort(key=lambda r: -r[2])
+    non_flop_us = sum(dur_us.values()) - flop_us
+    weighted_eff = (flop_total / (flop_us * 1e-6)) / peak_flops if flop_us else 0.0
+    return {
+        "trace_file": str(traces[-1]),
+        "flop_ms": round(flop_us / 1e3, 2),
+        "non_flop_ms": round(non_flop_us / 1e3, 2),
+        "weighted_eff": round(weighted_eff, 4),
+        "top_gemms": [
+            (n, c, round(ms, 3), round(gf, 3), round(eff, 3)) for n, c, ms, gf, eff in rows[:top]
+        ],
+    }
+
+
 @dataclass
 class Throughput:
     """Running step-time and items/sec counters."""

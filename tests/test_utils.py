@@ -132,6 +132,43 @@ def test_summarize_trace_aggregates_device_ops(tmp_path):
     assert top == {"fusion.7": 4.0, "copy.2": 1.0}  # while excluded
 
 
+def test_gemm_efficiency_reads_model_flops(tmp_path):
+    import gzip
+    import json
+
+    from multimodal_timesfm_tpu.utils.profiling import gemm_efficiency
+
+    # Two GEMM calls of 1 GF each over 20 us total on a 100 GF/s "peak"
+    # => sustained 2 GF / 20 us = 100 TF/s ... scale peak so eff lands at 0.5.
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name", "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "while.1", "ts": 0, "dur": 9000},
+        {
+            "ph": "X", "pid": 3, "tid": 1, "name": "fusion.7", "ts": 0, "dur": 10,
+            "args": {"model_flops": 1e9},
+        },
+        {
+            "ph": "X", "pid": 3, "tid": 1, "name": "fusion.7", "ts": 40, "dur": 10,
+            "args": {"model_flops": 1e9},
+        },
+        {"ph": "X", "pid": 3, "tid": 1, "name": "copy.2", "ts": 0, "dur": 30},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    # sustained = 2 GF / 20 us = 1e14 FLOP/s; peak 2e14 => weighted_eff 0.5
+    s = gemm_efficiency(tmp_path, peak_flops=2e14)
+    assert s["weighted_eff"] == 0.5
+    assert s["flop_ms"] == 0.02
+    assert s["non_flop_ms"] == 0.03  # copy.2; while wrapper excluded
+    (op, calls, ms, gf, frac) = s["top_gemms"][0]
+    assert (op, calls, gf) == ("fusion.7", 2, 1.0)
+    assert frac == 0.5
+
+
 def test_summarize_trace_missing_raises(tmp_path):
     import pytest
 
