@@ -90,6 +90,29 @@ def test_gradients_match_oracle_bf16():
     )
 
 
+@pytest.mark.parametrize("knob", ["_DIRECT", "_SAVE2D"])
+def test_experiment_knobs_match_oracle(monkeypatch, knob):
+    """The process-start A/B knobs (direct-slice kernels, 2D residual save)
+    must stay parity-exact with the oracle whichever way an A/B leaves the
+    default (ops/qkv_attention.py)."""
+    from multimodal_timesfm_tpu.ops import qkv_attention as QA
+
+    monkeypatch.setattr(QA, knob, True)
+    qkv, valid = _inputs(seed=5)
+    heads, dim = 4, 8
+    ref = _oracle(qkv, valid, heads, dim)
+    out = fused_qkv_causal_attention(qkv, valid, heads, dim, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_kernel = jax.grad(
+        lambda q: jnp.sum(fused_qkv_causal_attention(q, valid, heads, dim, True) ** 2)
+    )(qkv)
+    g_oracle = jax.grad(lambda q: jnp.sum(_oracle(q, valid, heads, dim) ** 2))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_oracle), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_row_tile_divides_and_caps():
     assert _row_tile(1024, 16) == 16  # 256 packed rows
     assert _row_tile(1024, 64) == 4
