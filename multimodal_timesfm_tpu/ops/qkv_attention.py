@@ -76,19 +76,27 @@ import os as _os
 
 _MAX_TILE_ROWS = int(_os.environ.get("MTT_QKV_TILE_ROWS", "256"))
 
-# Direct-slice variant: skip the offset-0 scratch slabs entirely and feed the
-# lane-offset head slices straight from the block ref into the dots (Mosaic
-# inserts the relayout at the operand instead of a store+load round trip
-# through VMEM). Process-start-only A/B knob, same caveat as the tile cap.
-_DIRECT = _os.environ.get("MTT_QKV_DIRECT", "0").strip().lower() in ("1", "true", "yes")
-
 # Save the qkv residual as its 2D (B*S, 3HD) collapse instead of the 3D
 # (B, S, 3HD) view. The r5 c512 trace shows the backward paying a 94 us
 # {2,0,1}->{2,1,0} layout copy per layer-step (copy.160/162, ~3.8 ms/step)
 # to feed the stacked residual into the backward custom call's {1,0} row
 # layout; stacking the already-collapsed 2D value gives XLA's layout
-# assignment a direct match. Process-start-only A/B knob.
-_SAVE2D = _os.environ.get("MTT_QKV_SAVE2D", "0").strip().lower() in ("1", "true", "yes")
+# assignment a direct match. Measured back-to-back on v5e: c512 (S=16)
+# 7,084 -> 7,248 series/s (+2.3%), c2048 (S=64) 2,030 -> 1,988 (-2.1%,
+# noise-band negative) — so the default is seq-gated: 2D save at S <= 32,
+# 3D above. MTT_QKV_SAVE2D=1/0 forces either way (process-start-only knob,
+# same caveat as the tile cap). A direct-slice kernel variant (head slices
+# fed straight from the block ref, no scratch slabs) was also A/B'd and
+# LOST badly (c512 -8.3%; combined with save2d -5.9%) — Mosaic's
+# per-operand relayouts are worse than the bulk slab stores — and was
+# deleted; docs/PERF.md levers table keeps the record.
+_SAVE2D_ENV = _os.environ.get("MTT_QKV_SAVE2D", "").strip().lower()
+_SAVE2D: bool | None = (
+    True if _SAVE2D_ENV in ("1", "true", "yes")
+    else False if _SAVE2D_ENV in ("0", "false", "no")
+    else None  # auto: seq-gated
+)
+_SAVE2D_MAX_SEQ = 32
 
 
 def _row_tile(batch: int, seq: int) -> int:
@@ -128,60 +136,6 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
         o_ref[:, h * dim : (h + 1) * dim] = o.astype(o_ref.dtype)
-
-
-def _fwd_kernel_direct(
-    qkv_ref: Any, valid_ref: Any, o_ref: Any,
-    *, seq: int, heads: int, dim: int, bt: int,
-) -> None:
-    hd = heads * dim
-    valid = valid_ref[0, 0]  # (BT*S,)
-    for h in range(heads):
-        q = qkv_ref[:, h * dim : (h + 1) * dim]
-        k = qkv_ref[:, hd + h * dim : hd + (h + 1) * dim]
-        v = qkv_ref[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim]
-        w = _masked_softmax(q, k, valid, seq)
-        o = jax.lax.dot_general(
-            w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[:, h * dim : (h + 1) * dim] = o.astype(o_ref.dtype)
-
-
-def _bwd_kernel_direct(
-    qkv_ref: Any, valid_ref: Any, g_ref: Any, dqkv_ref: Any,
-    *, seq: int, heads: int, dim: int, bt: int,
-) -> None:
-    hd = heads * dim
-    valid = valid_ref[0, 0]
-    for h in range(heads):
-        q = qkv_ref[:, h * dim : (h + 1) * dim]
-        k = qkv_ref[:, hd + h * dim : hd + (h + 1) * dim]
-        v = qkv_ref[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim]
-        g = g_ref[:, h * dim : (h + 1) * dim]
-        w = _masked_softmax(q, k, valid, seq)
-        g32 = g.astype(jnp.float32)
-        v32 = v.astype(jnp.float32)
-        dv = jax.lax.dot_general(
-            w, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dw = jax.lax.dot_general(
-            g32, v32, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-        dq = jax.lax.dot_general(
-            dl, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk = jax.lax.dot_general(
-            dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dqkv_ref[:, h * dim : (h + 1) * dim] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, hd + h * dim : hd + (h + 1) * dim] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, 2 * hd + h * dim : 2 * hd + (h + 1) * dim] = dv.astype(
-            dqkv_ref.dtype
-        )
 
 
 def _bwd_kernel(
@@ -317,10 +271,8 @@ def fused_qkv_causal_attention(
     """
     # Forward packs in the compute dtype (matches _attn_fwd_kernel numerics).
     return _launch(
-        _fwd_kernel_direct if _DIRECT else _fwd_kernel,
-        qkv, key_valid, (), num_heads * head_dim,
-        qkv.shape[1], num_heads, head_dim, interpret, qkv.dtype,
-        0 if _DIRECT else 3,
+        _fwd_kernel, qkv, key_valid, (), num_heads * head_dim,
+        qkv.shape[1], num_heads, head_dim, interpret, qkv.dtype, 3,
     )
 
 
@@ -333,7 +285,8 @@ def _fwd(
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     out = fused_qkv_causal_attention(qkv, key_valid, num_heads, head_dim, interpret)
     b, s, c = qkv.shape
-    return out, (qkv.reshape(b * s, c) if _SAVE2D else qkv, key_valid)
+    save2d = _SAVE2D if _SAVE2D is not None else s <= _SAVE2D_MAX_SEQ
+    return out, (qkv.reshape(b * s, c) if save2d else qkv, key_valid)
 
 
 def _bwd(
@@ -344,17 +297,15 @@ def _bwd(
     g: jax.Array,
 ) -> tuple[jax.Array, None]:
     qkv, key_valid = residuals
-    if _SAVE2D:
+    if qkv.ndim == 2:  # 2D residual save (see _SAVE2D): restore the 3D view
         b, s = key_valid.shape
         qkv = qkv.reshape(b, s, qkv.shape[-1])
     # Backward packs q/k/v in the compute dtype (the saved values ARE bf16,
     # so the fp32 upcast happens at the dots — same accumulation as the XLA
     # oracle's backward) and keeps the softmax/VJP chain in fp32.
     dqkv = _launch(
-        _bwd_kernel_direct if _DIRECT else _bwd_kernel,
-        qkv, key_valid, (g,), 3 * num_heads * head_dim,
-        qkv.shape[1], num_heads, head_dim, interpret, qkv.dtype,
-        0 if _DIRECT else 4,
+        _bwd_kernel, qkv, key_valid, (g,), 3 * num_heads * head_dim,
+        qkv.shape[1], num_heads, head_dim, interpret, qkv.dtype, 4,
     )
     return dqkv, None
 

@@ -90,14 +90,14 @@ def test_gradients_match_oracle_bf16():
     )
 
 
-@pytest.mark.parametrize("knob", ["_DIRECT", "_SAVE2D"])
-def test_experiment_knobs_match_oracle(monkeypatch, knob):
-    """The process-start A/B knobs (direct-slice kernels, 2D residual save)
-    must stay parity-exact with the oracle whichever way an A/B leaves the
-    default (ops/qkv_attention.py)."""
+@pytest.mark.parametrize("save2d", [True, False, None])
+def test_residual_save_modes_match_oracle(monkeypatch, save2d):
+    """The 2D-collapse residual save (forced on, forced off, or the default
+    seq-gated auto) must stay gradient-exact with the oracle
+    (ops/qkv_attention.py _SAVE2D)."""
     from multimodal_timesfm_tpu.ops import qkv_attention as QA
 
-    monkeypatch.setattr(QA, knob, True)
+    monkeypatch.setattr(QA, "_SAVE2D", save2d)
     qkv, valid = _inputs(seed=5)
     heads, dim = 4, 8
     ref = _oracle(qkv, valid, heads, dim)
